@@ -1,0 +1,236 @@
+// imgio — native host-side image codec for the TPU framework.
+//
+// Capability twin of the reference's vendored stb_image / stb_image_write
+// layer (reference: monolithic/include/stb_image.h, stb_image_write.h;
+// loaded at monolithic/src/main.c:21, written at :41): decode JPEG/PNG to
+// interleaved u8 HWC, encode PNG. Implemented against the system libjpeg /
+// libpng instead of a vendored single-header decoder, exposed to Python via
+// a small C ABI (ctypes) and as a standalone CLI for codec round-trip tests.
+//
+// Thread-safety: error state is thread-local; the codec itself is reentrant.
+
+#include <csetjmp>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+thread_local std::string g_error;
+
+void set_error(const std::string &msg) { g_error = msg; }
+
+// ---------------------------------------------------------------------------
+// JPEG
+// ---------------------------------------------------------------------------
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto *mgr = reinterpret_cast<JpegErrorMgr *>(cinfo->err);
+  char buf[JMSG_LENGTH_MAX];
+  (*cinfo->err->format_message)(cinfo, buf);
+  set_error(std::string("jpeg: ") + buf);
+  std::longjmp(mgr->jump, 1);
+}
+
+unsigned char *decode_jpeg(FILE *fp, int *w, int *h, int *channels) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  unsigned char *out = nullptr;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::free(out);
+    return nullptr;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  jpeg_start_decompress(&cinfo);
+  *w = static_cast<int>(cinfo.output_width);
+  *h = static_cast<int>(cinfo.output_height);
+  *channels = cinfo.output_components;
+  size_t stride = static_cast<size_t>(*w) * *channels;
+  out = static_cast<unsigned char *>(std::malloc(stride * *h));
+  if (!out) {
+    set_error("jpeg: out of memory");
+    std::longjmp(jerr.jump, 1);
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char *row = out + stride * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// PNG
+// ---------------------------------------------------------------------------
+
+unsigned char *decode_png(FILE *fp, int *w, int *h, int *channels) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    set_error("png: create_read_struct failed");
+    return nullptr;
+  }
+  png_infop info = png_create_info_struct(png);
+  unsigned char *out = nullptr;
+  png_bytep *rows = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    set_error("png: decode failed");
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::free(rows);
+    std::free(out);
+    return nullptr;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  // Normalize to 8-bit gray/GA/RGB/RGBA.
+  png_byte color = png_get_color_type(png, info);
+  png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_read_update_info(png, info);
+
+  *w = static_cast<int>(png_get_image_width(png, info));
+  *h = static_cast<int>(png_get_image_height(png, info));
+  *channels = static_cast<int>(png_get_channels(png, info));
+  size_t stride = png_get_rowbytes(png, info);
+  out = static_cast<unsigned char *>(std::malloc(stride * *h));
+  rows = static_cast<png_bytep *>(std::malloc(sizeof(png_bytep) * *h));
+  if (!out || !rows) {
+    set_error("png: out of memory");
+    std::longjmp(png_jmpbuf(png), 1);
+  }
+  for (int y = 0; y < *h; ++y) rows[y] = out + stride * y;
+  png_read_image(png, rows);
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::free(rows);
+  return out;
+}
+
+bool encode_png(const char *path, const unsigned char *data, int w, int h,
+                int channels, int stride_bytes) {
+  int color;
+  switch (channels) {
+    case 1: color = PNG_COLOR_TYPE_GRAY; break;
+    case 2: color = PNG_COLOR_TYPE_GRAY_ALPHA; break;
+    case 3: color = PNG_COLOR_TYPE_RGB; break;
+    case 4: color = PNG_COLOR_TYPE_RGBA; break;
+    default:
+      set_error("png: unsupported channel count");
+      return false;
+  }
+  FILE *fp = std::fopen(path, "wb");
+  if (!fp) {
+    set_error(std::string("png: cannot open ") + path);
+    return false;
+  }
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    set_error("png: encode failed");
+    if (png) png_destroy_write_struct(&png, &info);
+    std::fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_IHDR(png, info, w, h, 8, color, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  if (stride_bytes == 0) stride_bytes = w * channels;
+  for (int y = 0; y < h; ++y)
+    png_write_row(png, const_cast<png_bytep>(data + static_cast<size_t>(y) *
+                                                        stride_bytes));
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return true;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+const char *imgio_last_error() { return g_error.c_str(); }
+
+void imgio_free(unsigned char *p) { std::free(p); }
+
+// Decode JPEG or PNG (sniffed by magic bytes) into interleaved u8 HWC.
+// Returns NULL on failure (see imgio_last_error).
+unsigned char *imgio_load(const char *path, int *w, int *h, int *channels) {
+  FILE *fp = std::fopen(path, "rb");
+  if (!fp) {
+    set_error(std::string("cannot open ") + path);
+    return nullptr;
+  }
+  unsigned char magic[8] = {0};
+  size_t n = std::fread(magic, 1, sizeof magic, fp);
+  std::rewind(fp);
+  unsigned char *out = nullptr;
+  if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    out = decode_jpeg(fp, w, h, channels);
+  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    out = decode_png(fp, w, h, channels);
+  } else {
+    set_error("unrecognized image format (expected JPEG or PNG)");
+  }
+  std::fclose(fp);
+  return out;
+}
+
+// Encode interleaved u8 HWC as PNG. Returns 1 on success, 0 on failure.
+int imgio_save_png(const char *path, const unsigned char *data, int w, int h,
+                   int channels, int stride_bytes) {
+  return encode_png(path, data, w, h, channels, stride_bytes) ? 1 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CLI: imgio <in> <out.png>   (codec round-trip; used by tests)
+// ---------------------------------------------------------------------------
+
+#ifdef IMGIO_MAIN
+int main(int argc, char **argv) {
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: %s <input_img> <output_img.png>\n", argv[0]);
+    return 1;
+  }
+  int w, h, c;
+  unsigned char *img = imgio_load(argv[1], &w, &h, &c);
+  if (!img) {
+    std::fprintf(stderr, "decode error: %s\n", imgio_last_error());
+    return 1;
+  }
+  std::printf("%dx%d c=%d\n", w, h, c);
+  if (!imgio_save_png(argv[2], img, w, h, c, 0)) {
+    std::fprintf(stderr, "encode error: %s\n", imgio_last_error());
+    imgio_free(img);
+    return 1;
+  }
+  imgio_free(img);
+  return 0;
+}
+#endif

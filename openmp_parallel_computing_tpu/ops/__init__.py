@@ -1,0 +1,16 @@
+"""Pallas TPU kernels + pure-jnp twins for the framework's stencil/reduction ops."""
+
+from openmp_parallel_computing_tpu.ops import xla_ref  # noqa: F401
+from openmp_parallel_computing_tpu.ops.conv import conv3x3, gaussian_blur  # noqa: F401
+from openmp_parallel_computing_tpu.ops.grayscale import grayscale  # noqa: F401
+from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline  # noqa: F401
+from openmp_parallel_computing_tpu.ops.reductions import (  # noqa: F401
+    channel_mean,
+    channel_sum,
+    grayscale_mean_minmax,
+)
+from openmp_parallel_computing_tpu.ops.sobel import sobel  # noqa: F401
+from openmp_parallel_computing_tpu.ops.xla_ref import (  # noqa: F401
+    chw_to_hwc,
+    hwc_to_chw,
+)

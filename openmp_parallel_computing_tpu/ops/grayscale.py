@@ -1,0 +1,74 @@
+"""Pallas TPU grayscale kernel.
+
+Capability twin of the reference's flat OpenMP pixel loop
+(``monolithic/src/parallel_to_grayscale.c:5-17``): BT.601 luma computed in
+f32, truncated to u8 (the C cast), written to all three RGB channels, alpha
+passed through. The OpenMP ``parallel for`` over pixels becomes a Pallas grid
+of row-strips; each strip is one (C, TH, W) u8 VMEM block processed on the
+VPU, with the grid pipelined by Mosaic (HBM->VMEM DMA overlapped with
+compute), which is the TPU-idiomatic replacement for thread fork/join.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openmp_parallel_computing_tpu.ops import xla_ref
+from openmp_parallel_computing_tpu.ops._tiling import (
+    LANE,
+    crop2d,
+    interpret_mode,
+    pad2d,
+    round_up,
+)
+
+
+def pick_strip(h: int, sublane: int = 32, prefer: int = 256) -> int:
+    """Pick a row-strip height: a multiple of ``sublane`` that balances block
+    size against zero-padding waste for this image height."""
+    best = sublane
+    for th in (prefer, prefer // 2, prefer // 4, sublane):
+        waste = round_up(h, th) - h
+        if waste <= max(sublane, int(0.08 * h)):
+            best = th
+            break
+    return min(best, round_up(h, sublane))
+
+
+def _grayscale_kernel(img_ref, out_ref, *, channels: int):
+    r = img_ref[0].astype(jnp.int32)
+    g = img_ref[1].astype(jnp.int32)
+    b = img_ref[2].astype(jnp.int32)
+    lum = (xla_ref.LUMA_FIX_R * r + xla_ref.LUMA_FIX_G * g
+           + xla_ref.LUMA_FIX_B * b) >> xla_ref.LUMA_FIX_SHIFT
+    lum8 = lum.astype(jnp.uint8)
+    out_ref[0] = lum8
+    out_ref[1] = lum8
+    out_ref[2] = lum8
+    if channels > 3:
+        out_ref[3] = img_ref[3]
+
+
+@functools.partial(jax.jit, static_argnames=("strip",))
+def grayscale(img: jax.Array, strip: int | None = None) -> jax.Array:
+    """Planar (C, H, W) u8 -> (C, H, W) u8 grayscale via a Pallas kernel."""
+    c, h, w = img.shape
+    th = strip or pick_strip(h)
+    x = pad2d(img, th, LANE)
+    hp, wp = x.shape[-2:]
+    out = pl.pallas_call(
+        functools.partial(_grayscale_kernel, channels=c),
+        grid=(hp // th,),
+        in_specs=[pl.BlockSpec((c, th, wp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, th, wp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
+        interpret=interpret_mode(),
+    )(x)
+    return crop2d(out, h, w)
