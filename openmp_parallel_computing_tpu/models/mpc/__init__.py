@@ -1,0 +1,12 @@
+"""Visual-servo MPC engine: dynamics, costs, Riccati/iLQR+ADMM solver."""
+
+from openmp_parallel_computing_tpu.models.mpc import (  # noqa: F401
+    costs,
+    dynamics,
+    riccati,
+)
+from openmp_parallel_computing_tpu.models.mpc.solver import (  # noqa: F401
+    Scenario,
+    Solution,
+    VisualServoMPC,
+)

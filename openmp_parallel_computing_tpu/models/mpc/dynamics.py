@@ -1,0 +1,68 @@
+"""Image-plane feature dynamics for visual servoing.
+
+The controlled system: m feature points tracked in the normalized image
+plane; the control is the camera twist u = (vx, vy, vz, wx, wy, wz). Each
+point (x, y) at depth Z moves with the classical IBVS interaction matrix
+
+    L(x, y, Z) = [ -1/Z    0    x/Z    x*y   -(1+x^2)   y ]
+                 [   0   -1/Z   y/Z   1+y^2   -x*y     -x ]
+
+and the discrete dynamics are one explicit-Euler step p' = p + dt * L(p) u.
+
+State layout: p is (2m,) as [x1, y1, x2, y2, ...]; depths are (m,).
+Everything is jit/vmap/scan-friendly (static shapes, pure functions).
+
+This is the "feature dynamics rolled out under lax.scan" of the BASELINE
+north star; the reference repo has no dynamics — its temporal axis is the
+kernel ``passes`` loop (``monolithic/src/main.c:33-35``), which the MPC
+horizon generalizes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+STATE_PER_FEATURE = 2
+CONTROL_DIM = 6
+
+
+def interaction_matrix(p: jax.Array, depth: jax.Array) -> jax.Array:
+    """(2m,) state, (m,) depths -> (2m, 6) image Jacobian."""
+    pts = p.reshape(-1, 2)
+    x, y = pts[:, 0], pts[:, 1]
+    iz = 1.0 / depth
+    zeros = jnp.zeros_like(x)
+    row_x = jnp.stack(
+        [-iz, zeros, x * iz, x * y, -(1.0 + x * x), y], axis=-1)
+    row_y = jnp.stack(
+        [zeros, -iz, y * iz, 1.0 + y * y, -x * y, -x], axis=-1)
+    return jnp.stack([row_x, row_y], axis=1).reshape(-1, CONTROL_DIM)
+
+
+def step(p: jax.Array, u: jax.Array, depth: jax.Array,
+         dt: float) -> jax.Array:
+    """One Euler step of the feature dynamics."""
+    return p + dt * interaction_matrix(p, depth) @ u
+
+
+def rollout(p0: jax.Array, us: jax.Array, depth: jax.Array,
+            dt: float) -> jax.Array:
+    """Roll the dynamics over a control sequence.
+
+    p0 (2m,), us (H, 6) -> states (H+1, 2m) including the initial state.
+    """
+
+    def body(p, u):
+        nxt = step(p, u, depth, dt)
+        return nxt, nxt
+
+    _, ps = jax.lax.scan(body, p0, us)
+    return jnp.concatenate([p0[None], ps], axis=0)
+
+
+def linearize(p: jax.Array, u: jax.Array, depth: jax.Array, dt: float):
+    """Jacobians (fx, fu) of ``step`` at one (p, u): (2m, 2m), (2m, 6)."""
+    fx = jax.jacrev(lambda q: step(q, u, depth, dt))(p)
+    fu = dt * interaction_matrix(p, depth)
+    return fx, fu

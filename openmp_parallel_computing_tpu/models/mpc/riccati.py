@@ -1,0 +1,93 @@
+"""Time-varying LQR machinery: quadratic expansion, Riccati backward sweep,
+gain-feedback forward rollout — all as ``lax.scan`` programs.
+
+The backward recursion is the block-structured QP solve of the BASELINE
+north star ("ADMM/Riccati sweep over the horizon"): for the batched MPC each
+per-step operation is a small (2m x 2m / 2m x 6) matrix product which, once
+vmapped over hundreds of scenarios, becomes large batched matmuls that XLA
+lays onto the MXU.
+
+Conventions: state dim n, control dim c, horizon H.
+- dynamics jacobians  fx (H, n, n), fu (H, n, c)
+- cost expansions     lx (H, n), lu (H, c), lxx (H, n, n), luu (H, c, c),
+                      lux (H, c, n); terminal vx (n,), vxx (n, n)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Gains(NamedTuple):
+    K: jax.Array      # (H, c, n) feedback
+    k: jax.Array      # (H, c) feedforward
+    dV: jax.Array     # (2,) expected cost decrease coefficients
+
+
+def backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
+             reg: float = 1e-6) -> Gains:
+    """Riccati backward sweep; returns time-varying affine gains."""
+
+    def step(carry, inp):
+        Vx, Vxx, dv1, dv2 = carry
+        fx_k, fu_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
+        Qx = lx_k + fx_k.T @ Vx
+        Qu = lu_k + fu_k.T @ Vx
+        Qxx = lxx_k + fx_k.T @ Vxx @ fx_k
+        Quu = luu_k + fu_k.T @ Vxx @ fu_k
+        Qux = lux_k + fu_k.T @ Vxx @ fx_k
+        Quu_reg = Quu + reg * jnp.eye(Quu.shape[0], dtype=Quu.dtype)
+        K = -jnp.linalg.solve(Quu_reg, Qux)
+        kff = -jnp.linalg.solve(Quu_reg, Qu)
+        Vx_new = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
+        Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+        dv1 = dv1 + kff @ Qu
+        dv2 = dv2 + 0.5 * kff @ Quu @ kff
+        return (Vx_new, Vxx_new, dv1, dv2), (K, kff)
+
+    init = (vx, vxx, jnp.zeros((), vx.dtype), jnp.zeros((), vx.dtype))
+    (_, _, dv1, dv2), (Ks, ks) = jax.lax.scan(
+        step, init, (fx, fu, lx, lu, lxx, luu, lux), reverse=True)
+    return Gains(K=Ks, k=ks, dV=jnp.stack([dv1, dv2]))
+
+
+def forward(step_fn, p0, ps_nom, us_nom, gains: Gains, alpha):
+    """Closed-loop rollout with the affine policy
+    u = u_nom + alpha * k + K (p - p_nom)."""
+
+    def body(p, inp):
+        p_nom, u_nom, K, kff = inp
+        u = u_nom + alpha * kff + K @ (p - p_nom)
+        nxt = step_fn(p, u)
+        return nxt, (nxt, u)
+
+    _, (ps, us) = jax.lax.scan(body, p0, (ps_nom[:-1], us_nom, gains.K,
+                                          gains.k))
+    return jnp.concatenate([p0[None], ps], axis=0), us
+
+
+def expand_costs(stage_cost, terminal_cost, ps, us):
+    """Autodiff quadratic expansion of the costs along a trajectory.
+
+    ps (H+1, n), us (H, c) -> (lx, lu, lxx, luu, lux, vx, vxx) plus the
+    total trajectory cost.
+    """
+    lx = jax.vmap(jax.grad(stage_cost, argnums=0))(ps[:-1], us)
+    lu = jax.vmap(jax.grad(stage_cost, argnums=1))(ps[:-1], us)
+    lxx = jax.vmap(jax.hessian(stage_cost, argnums=0))(ps[:-1], us)
+    luu = jax.vmap(jax.hessian(stage_cost, argnums=1))(ps[:-1], us)
+    lux = jax.vmap(jax.jacrev(jax.grad(stage_cost, argnums=1),
+                              argnums=0))(ps[:-1], us)
+    vx = jax.grad(terminal_cost)(ps[-1])
+    vxx = jax.hessian(terminal_cost)(ps[-1])
+    total = (jax.vmap(stage_cost)(ps[:-1], us).sum()
+             + terminal_cost(ps[-1]))
+    return lx, lu, lxx, luu, lux, vx, vxx, total
+
+
+def trajectory_cost(stage_cost, terminal_cost, ps, us):
+    return jax.vmap(stage_cost)(ps[:-1], us).sum() + terminal_cost(ps[-1])

@@ -1,0 +1,177 @@
+"""The visual-servo MPC engine (flagship model).
+
+Per BASELINE.json: Sobel edge-feature maps from the Pallas perception
+front-end feed stage costs; image-plane feature dynamics are rolled out
+under ``lax.scan``; the box-constrained QP is solved by an ADMM loop whose
+inner solve is an iLQR/Riccati sweep; scenario batches are vmapped per chip
+and sharded across the mesh's data axis (``parallel.mesh``), with solver
+diagnostics reduced via ``psum`` when run under ``shard_map``/pjit.
+
+Solve structure (all fixed-iteration, jit-compilable, static shapes):
+
+    ADMM outer (admm_iters):
+        iLQR inner (ilqr_iters):
+            rollout -> linearize (vmap jacobians) -> autodiff cost
+            expansion (+ analytic ADMM augmentation) -> Riccati backward
+            -> line-searched gain forward
+        z = clip(us + y)   # projection onto the control box
+        y = y + us - z     # dual ascent
+
+The whole perception->solve path compiles into ONE device computation
+(``control_step``): no host round-trip per frame, per the real-time budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from openmp_parallel_computing_tpu.models.mpc import costs, dynamics, riccati
+from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
+from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+_ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
+
+
+class Scenario(NamedTuple):
+    """One MPC problem instance (batch these along a leading axis)."""
+
+    p0: jax.Array        # (2m,) initial normalized feature coords
+    target: jax.Array    # (2m,) desired feature coords
+    depth: jax.Array     # (m,) feature depths
+    us0: jax.Array       # (H, 6) warm-start control sequence
+
+
+class Solution(NamedTuple):
+    us: jax.Array        # (H, 6) optimized (projected, feasible) controls
+    ps: jax.Array        # (H+1, 2m) predicted feature trajectory
+    cost: jax.Array      # () final trajectory cost (unaugmented)
+    primal_residual: jax.Array  # () max |us - z| over the horizon
+
+
+def _solve_single(pyramid, shape, scen: Scenario,
+                  cfg: MPCConfig) -> Solution:
+    """Solve one scenario against a shared edge cost pyramid."""
+    cdim = dynamics.CONTROL_DIM
+
+    def step_fn(p, u):
+        return dynamics.step(p, u, scen.depth, cfg.dt)
+
+    stage = costs.make_stage_cost(pyramid, shape, scen.target, cfg.q_track,
+                                  cfg.r_ctrl, cfg.q_edge)
+    terminal = costs.make_terminal_cost(pyramid, shape, scen.target,
+                                        cfg.q_track, cfg.q_edge)
+
+    rho = cfg.rho
+    eye_c = jnp.eye(cdim, dtype=jnp.float32)
+
+    def aug_cost(ps, us, z, y):
+        base = riccati.trajectory_cost(stage, terminal, ps, us)
+        return base + 0.5 * rho * jnp.sum((us - z + y) ** 2)
+
+    def ilqr_once(us, z, y):
+        ps = dynamics.rollout(scen.p0, us, scen.depth, cfg.dt)
+        fx, fu = jax.vmap(
+            lambda p, u: dynamics.linearize(p, u, scen.depth, cfg.dt))(
+                ps[:-1], us)
+        lx, lu, lxx, luu, lux, vx, vxx, _ = riccati.expand_costs(
+            stage, terminal, ps, us)
+        # Analytic expansion of the ADMM penalty 0.5*rho*||u - z + y||^2.
+        lu = lu + rho * (us - z + y)
+        luu = luu + rho * eye_c[None]
+        gains = riccati.backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx)
+
+        def try_alpha(alpha):
+            ps_a, us_a = riccati.forward(step_fn, scen.p0, ps, us, gains,
+                                         alpha)
+            return ps_a, us_a, aug_cost(ps_a, us_a, z, y)
+
+        ps_c, us_c, J_c = jax.vmap(try_alpha)(jnp.asarray(_ALPHAS))
+        j0 = aug_cost(ps, us, z, y)
+        best = jnp.argmin(J_c)
+        improved = J_c[best] < j0
+        return jnp.where(improved, us_c[best], us)
+
+    def admm_body(carry, _):
+        us, z, y = carry
+        us = jax.lax.fori_loop(
+            0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y), us)
+        z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
+        y = y + us - z
+        return (us, z, y), None
+
+    us0 = scen.us0
+    z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
+    y0 = jnp.zeros_like(us0)
+    (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
+                                 length=cfg.admm_iters)
+
+    ps = dynamics.rollout(scen.p0, z, scen.depth, cfg.dt)
+    return Solution(
+        us=z,
+        ps=ps,
+        cost=riccati.trajectory_cost(stage, terminal, ps, z),
+        primal_residual=jnp.max(jnp.abs(us - z)),
+    )
+
+
+class VisualServoMPC:
+    """Batched visual-servo MPC over Sobel edge-feature maps.
+
+    ``solve_batch`` treats the leading scenario axis as the data-parallel
+    dimension: under jit with a sharded scenario batch the whole solve
+    partitions over the mesh with zero cross-device traffic except the
+    diagnostics reductions.
+    """
+
+    def __init__(self, cfg: MPCConfig | None = None):
+        self.cfg = cfg or MPCConfig()
+
+    # -- scenario construction -------------------------------------------
+
+    def random_scenarios(self, key, n: int) -> Scenario:
+        """Sample a batch of n scenarios (features in the central image)."""
+        cfg = self.cfg
+        m = cfg.num_features
+        k1, k2, k3 = jax.random.split(key, 3)
+        p0 = jax.random.uniform(k1, (n, 2 * m), minval=-0.6, maxval=0.6)
+        target = jax.random.uniform(k2, (n, 2 * m), minval=-0.5, maxval=0.5)
+        depth = jax.random.uniform(k3, (n, m), minval=1.0, maxval=5.0)
+        us0 = jnp.zeros((n, cfg.horizon, dynamics.CONTROL_DIM))
+        return Scenario(p0=p0, target=target, depth=depth, us0=us0)
+
+    # -- solving ----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def solve_batch(self, edge_map: jax.Array, scen: Scenario) -> Solution:
+        """edge_map (H, W) f32, scenario batch (leading axis) -> Solution
+        batch. The cost pyramid is built once and shared by the batch."""
+        pyramid = costs.build_cost_pyramid(edge_map)
+        shape = edge_map.shape
+        return jax.vmap(
+            lambda s: _solve_single(pyramid, shape, s, self.cfg))(scen)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def control_step(self, frame: jax.Array, scen: Scenario):
+        """Full per-frame control path in one jitted computation.
+
+        frame: planar (C, H, W) u8 camera image. Runs the fused Pallas
+        perception front-end, then the batched solve; returns (u0 batch,
+        Solution batch). No host round-trips.
+        """
+        edge = edge_pipeline(frame)[0]
+        edge_f32 = edge.astype(jnp.float32)
+        sol = self.solve_batch(edge_f32, scen)
+        return sol.us[:, 0], sol
+
+    def __hash__(self):  # jit static self: hash by config contents
+        return hash(dataclasses.astuple(self.cfg))
+
+    def __eq__(self, other):
+        return (isinstance(other, VisualServoMPC)
+                and dataclasses.astuple(self.cfg)
+                == dataclasses.astuple(other.cfg))

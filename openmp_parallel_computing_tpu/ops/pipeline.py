@@ -41,7 +41,7 @@ def _luma_u8(block: jax.Array) -> jax.Array:
 
 
 def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,
-                 channels: int):
+                 channels: int, border: str):
     i = pl.program_id(0)
     cur = _luma_u8(cur_ref[...])
     up_last = _luma_u8(up_ref[:, th - 1:th, :])
@@ -59,12 +59,14 @@ def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,
 
     mag = jnp.minimum(jnp.floor(jnp.sqrt(gx * gx + gy * gy)), 255.0)
 
-    shape = cur.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * th
-    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)
+    if border == "zero":
+        shape = cur.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * th
+        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)
+        mag = jnp.where(interior, mag, 0.0)
     # Mosaic has no direct f32->u8 cast; hop through int32.
-    edge = jnp.where(interior, mag, 0.0).astype(jnp.int32).astype(jnp.uint8)
+    edge = mag.astype(jnp.int32).astype(jnp.uint8)
 
     out_ref[0] = edge
     out_ref[1] = edge
@@ -73,9 +75,14 @@ def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,
         out_ref[3] = cur_ref[3]
 
 
-@functools.partial(jax.jit, static_argnames=("strip",))
-def edge_pipeline(img: jax.Array, strip: int | None = None) -> jax.Array:
-    """Planar (C, H, W) u8 -> (C, H, W) u8 Sobel-edge image, fully fused."""
+@functools.partial(jax.jit, static_argnames=("strip", "border"))
+def edge_pipeline(img: jax.Array, strip: int | None = None,
+                  border: str = "zero") -> jax.Array:
+    """Planar (C, H, W) u8 -> (C, H, W) u8 Sobel-edge image, fully fused.
+
+    ``border`` as in ``ops.sobel``: "zero" masks the image border, "none"
+    computes every row (for halo-extended shards).
+    """
     c, h, w = img.shape
     th = strip or pick_strip(h)
     x = pad2d(img, th, LANE)
@@ -84,7 +91,8 @@ def edge_pipeline(img: jax.Array, strip: int | None = None) -> jax.Array:
 
     spec = lambda fn: pl.BlockSpec((c, th, wp), fn, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_edge_kernel, th=th, h=h, w=w, channels=c),
+        functools.partial(_edge_kernel, th=th, h=h, w=w, channels=c,
+                          border=border),
         grid=(n,),
         in_specs=[
             spec(lambda i: (0, jnp.maximum(i - 1, 0), 0)),

@@ -45,7 +45,7 @@ def _shift_cols(x: jax.Array, dx: int) -> jax.Array:
 
 
 def _sobel_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int,
-                  h: int, w: int):
+                  h: int, w: int, border: str):
     i = pl.program_id(0)
     cur = cast(cur_ref[...], jnp.float32)
     up_last = cast(up_ref[th - 1:th], jnp.float32)
@@ -64,18 +64,28 @@ def _sobel_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int,
 
     mag = jnp.minimum(jnp.floor(jnp.sqrt(gx * gx + gy * gy)), 255.0)
 
-    shape = cur.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * th
-    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)
+    if border == "zero":
+        shape = cur.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * th
+        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)
+        mag = jnp.where(interior, mag, 0.0)
     # Mosaic has no direct f32->u8 cast; hop through int32.
-    out_ref[...] = jnp.where(interior, mag, 0.0).astype(jnp.int32).astype(
-        jnp.uint8)
+    out_ref[...] = mag.astype(jnp.int32).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("strip",))
-def sobel(gray: jax.Array, strip: int | None = None) -> jax.Array:
-    """(H, W) u8 plane -> (H, W) u8 edge magnitude (border = 0)."""
+@functools.partial(jax.jit, static_argnames=("strip", "border"))
+def sobel(gray: jax.Array, strip: int | None = None,
+          border: str = "zero") -> jax.Array:
+    """(H, W) u8 plane -> (H, W) u8 edge magnitude.
+
+    ``border="zero"`` (default) zeroes the 1-px image border — the
+    framework's defined replacement for the reference's uninitialized
+    border. ``border="none"`` skips the mask: every row is computed as
+    interior with zero-filled out-of-plane neighbors, which is what a
+    spatially sharded caller wants when the plane is a halo-extended local
+    shard (see ``parallel.spatial``).
+    """
     h, w = gray.shape
     th = strip or pick_strip(h)
     x = pad2d(gray, th, LANE)
@@ -84,7 +94,7 @@ def sobel(gray: jax.Array, strip: int | None = None) -> jax.Array:
 
     spec = lambda fn: pl.BlockSpec((th, wp), fn, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_sobel_kernel, th=th, h=h, w=w),
+        functools.partial(_sobel_kernel, th=th, h=h, w=w, border=border),
         grid=(n,),
         in_specs=[
             spec(lambda i: (jnp.maximum(i - 1, 0), 0)),

@@ -1,0 +1,101 @@
+"""Typed configuration spanning kernels / mesh / solver / serving.
+
+Replaces the reference's four ad-hoc config layers — positional argv
+(``monolithic/src/main.c:15-18``), env vars (``OMP_NUM_THREADS``,
+``MINIO_*``, ``RABBITMQ_URL``), HTTP form fields (``threads``/``passes``/
+``repeat``), and compose-file env injection — with one dataclass tree plus
+uniform env-var and CLI overrides (``OMPC_<SECTION>_<FIELD>`` /
+``--section.field=value``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+
+@dataclasses.dataclass
+class KernelConfig:
+    strip: int | None = None          # Pallas row-strip override
+    passes: int = 1                   # kernel repeat count (bench contract)
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    data: int = -1                    # devices along the data axis (-1: rest)
+    model: int = 1                    # devices along the model axis
+
+
+@dataclasses.dataclass
+class MPCConfig:
+    horizon: int = 20                 # H
+    num_features: int = 8             # tracked image-plane feature points
+    scenarios: int = 256              # rollout batch per solve
+    ilqr_iters: int = 5               # outer linearize/solve sweeps
+    admm_iters: int = 10              # constraint-projection iterations
+    dt: float = 1.0 / 30.0
+    u_limit: float = 1.0              # control box |u| <= u_limit
+    q_track: float = 1.0              # feature tracking weight
+    r_ctrl: float = 1e-2              # control effort weight
+    q_edge: float = 0.1               # edge-map attraction weight
+    # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
+    # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost
+    # terms (the edge field is piecewise-linear), so large rho slows
+    # convergence; the returned controls are feasible by projection
+    # regardless of rho.
+    rho: float = 0.1
+
+
+@dataclasses.dataclass
+class ServeConfig:
+    host: str = "0.0.0.0"
+    port: int = 5000
+
+
+@dataclasses.dataclass
+class DispatchConfig:
+    root: str = "/tmp/ompc_dispatch"  # queue + object-store directory
+    queue: str = "grayscale"
+    visibility_timeout_s: float = 60.0
+
+
+@dataclasses.dataclass
+class Config:
+    kernel: KernelConfig = dataclasses.field(default_factory=KernelConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    mpc: MPCConfig = dataclasses.field(default_factory=MPCConfig)
+    serve: ServeConfig = dataclasses.field(default_factory=ServeConfig)
+    dispatch: DispatchConfig = dataclasses.field(
+        default_factory=DispatchConfig)
+
+
+def _coerce(value: str, ref: Any) -> Any:
+    if isinstance(ref, bool):
+        return value.lower() in ("1", "true", "yes")
+    if ref is None or isinstance(ref, int):
+        return int(value)
+    if isinstance(ref, float):
+        return float(value)
+    return value
+
+
+def load(env: dict[str, str] | None = None,
+         overrides: list[str] | None = None) -> Config:
+    """Build a Config from defaults + OMPC_* env vars + --a.b=c overrides."""
+    cfg = Config()
+    env = dict(os.environ if env is None else env)
+    for section_field in dataclasses.fields(cfg):
+        section = getattr(cfg, section_field.name)
+        for f in dataclasses.fields(section):
+            key = f"OMPC_{section_field.name.upper()}_{f.name.upper()}"
+            if key in env:
+                setattr(section, f.name,
+                        _coerce(env[key], getattr(section, f.name)))
+    for item in overrides or []:
+        item = item.lstrip("-")
+        path, _, value = item.partition("=")
+        sec_name, _, field = path.partition(".")
+        section = getattr(cfg, sec_name)
+        setattr(section, field, _coerce(value, getattr(section, field)))
+    return cfg

@@ -1,0 +1,175 @@
+"""MPC engine tests: dynamics shapes/jacobians, Riccati sanity on an
+analytic LQR problem, and end-to-end solver behavior (target convergence,
+box-constraint feasibility, batching)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmp_parallel_computing_tpu.models.mpc import (
+    Scenario,
+    VisualServoMPC,
+    costs,
+    dynamics,
+    riccati,
+)
+from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+
+class TestDynamics:
+    def test_interaction_matrix_shape(self):
+        p = jnp.zeros(8)
+        L = dynamics.interaction_matrix(p, jnp.ones(4))
+        assert L.shape == (8, 6)
+
+    def test_center_point_pure_translation(self):
+        # A feature at the optical axis (0,0) at depth 1: vx moves x by -vx*dt.
+        p = jnp.zeros(2)
+        u = jnp.array([1.0, 0, 0, 0, 0, 0])
+        nxt = dynamics.step(p, u, jnp.ones(1), dt=0.1)
+        np.testing.assert_allclose(np.asarray(nxt), [-0.1, 0.0], atol=1e-7)
+
+    def test_rollout_shape(self):
+        us = jnp.zeros((20, 6))
+        ps = dynamics.rollout(jnp.zeros(8), us, jnp.ones(4), 0.03)
+        assert ps.shape == (21, 8)
+
+    def test_linearize_matches_autodiff(self):
+        key = jax.random.PRNGKey(0)
+        p = jax.random.normal(key, (8,)) * 0.3
+        u = jax.random.normal(key, (6,)) * 0.5
+        depth = jnp.ones(4) * 2.0
+        fx, fu = dynamics.linearize(p, u, depth, 0.05)
+        fu_ad = jax.jacrev(lambda v: dynamics.step(p, v, depth, 0.05))(u)
+        np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ad),
+                                   rtol=1e-5)
+
+
+class TestBilinear:
+    def test_exact_on_grid(self):
+        field = jnp.arange(12.0).reshape(3, 4)
+        xy = jnp.array([[1.0, 2.0], [3.0, 0.0]])
+        got = costs.bilinear_sample(field, xy)
+        np.testing.assert_allclose(np.asarray(got), [9.0, 3.0])
+
+    def test_interpolates(self):
+        field = jnp.array([[0.0, 2.0], [4.0, 6.0]])
+        got = costs.bilinear_sample(field, jnp.array([[0.5, 0.5]]))
+        np.testing.assert_allclose(np.asarray(got), [3.0])
+
+    def test_gradient_flows(self):
+        field = jnp.arange(16.0).reshape(4, 4)
+        g = jax.grad(
+            lambda xy: costs.bilinear_sample(field, xy[None]).sum())(
+                jnp.array([1.2, 1.7]))
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestRiccatiLQR:
+    def test_matches_analytic_single_step(self):
+        """H=1 LQR: u* = -(R + B'QB)^-1 B'Q A x0."""
+        n, c = 4, 2
+        key = jax.random.PRNGKey(1)
+        A = jax.random.normal(key, (n, n)) * 0.3 + jnp.eye(n)
+        B = jax.random.normal(jax.random.PRNGKey(2), (n, c))
+        Q = jnp.eye(n)
+        R = 0.1 * jnp.eye(c)
+        x0 = jnp.array([1.0, -1.0, 0.5, 0.2])
+
+        gains = riccati.backward(
+            fx=A[None], fu=B[None],
+            lx=jnp.zeros((1, n)), lu=jnp.zeros((1, c)),
+            lxx=jnp.zeros((1, n, n)), luu=2 * R[None],
+            lux=jnp.zeros((1, c, n)),
+            vx=jnp.zeros(n), vxx=2 * Q, reg=0.0)
+        # u = k + K x0 with zero nominal trajectory
+        u = gains.k[0] + gains.K[0] @ x0
+        u_analytic = -jnp.linalg.solve(R + B.T @ Q @ B, B.T @ Q @ A @ x0)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_analytic),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def flat_edge_map():
+    return jnp.full((64, 128), 128.0, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return MPCConfig(horizon=10, num_features=4, scenarios=4, ilqr_iters=3,
+                     admm_iters=5, q_edge=0.0)
+
+
+class TestSolver:
+    def test_converges_toward_target(self, flat_edge_map, small_cfg):
+        mpc = VisualServoMPC(small_cfg)
+        m = small_cfg.num_features
+        p0 = jnp.tile(jnp.array([0.3, 0.2]), m)[None]
+        target = jnp.tile(jnp.array([-0.1, 0.0]), m)[None]
+        scen = Scenario(p0=p0, target=target, depth=jnp.ones((1, m)) * 2.0,
+                        us0=jnp.zeros((1, small_cfg.horizon, 6)))
+        sol = mpc.solve_batch(flat_edge_map, scen)
+        d0 = float(jnp.abs(p0 - target).max())
+        dH = float(jnp.abs(sol.ps[0, -1] - target[0]).max())
+        assert dH < 0.25 * d0, f"no convergence: {d0} -> {dH}"
+
+    def test_controls_respect_box(self, flat_edge_map, small_cfg):
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(0), 3)
+        sol = mpc.solve_batch(flat_edge_map, scen)
+        assert float(jnp.abs(sol.us).max()) <= small_cfg.u_limit + 1e-6
+
+    def test_batch_shapes(self, flat_edge_map, small_cfg):
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(1), 5)
+        sol = mpc.solve_batch(flat_edge_map, scen)
+        assert sol.us.shape == (5, small_cfg.horizon, 6)
+        assert sol.ps.shape == (5, small_cfg.horizon + 1,
+                                2 * small_cfg.num_features)
+        assert sol.cost.shape == (5,)
+
+    def test_deterministic(self, flat_edge_map, small_cfg):
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(2), 3)
+        a = mpc.solve_batch(flat_edge_map, scen)
+        b = mpc.solve_batch(flat_edge_map, scen)
+        np.testing.assert_array_equal(np.asarray(a.us), np.asarray(b.us))
+
+    def test_batch_cost_consistent_with_individual(self, flat_edge_map,
+                                                   small_cfg):
+        """Batched and single solves may diverge bitwise (XLA fuses
+        differently per batch shape; 15 nonconvex solver iterations amplify
+        fp noise) but must land at comparable solution quality."""
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(2), 3)
+        batched = mpc.solve_batch(flat_edge_map, scen)
+        one = mpc.solve_batch(
+            flat_edge_map, jax.tree.map(lambda a: a[1:2], scen))
+        cb, co = float(batched.cost[1]), float(one.cost[0])
+        assert abs(cb - co) <= 0.1 * max(abs(cb), abs(co), 1e-3)
+
+    def test_edge_cost_pulls_to_edges(self):
+        """With zero tracking weight, features should move toward the bright
+        edge band in the map."""
+        cfg = MPCConfig(horizon=12, num_features=1, ilqr_iters=4,
+                        admm_iters=4, q_track=0.0, q_edge=5.0, r_ctrl=1e-3,
+                        u_limit=5.0)
+        mpc = VisualServoMPC(cfg)
+        edge = jnp.zeros((64, 128), jnp.float32)
+        edge = edge.at[:, 90:100].set(255.0)  # bright vertical band right
+        p0 = jnp.array([[0.0, 0.0]])  # center (col 64)
+        scen = Scenario(p0=p0, target=jnp.zeros((1, 2)),
+                        depth=jnp.ones((1, 1)) * 2.0,
+                        us0=jnp.zeros((1, cfg.horizon, 6)))
+        sol = mpc.solve_batch(edge, scen)
+        x_final = float(sol.ps[0, -1, 0])
+        assert x_final > 0.05, f"feature did not move toward edges: {x_final}"
+
+    def test_control_step_from_frame(self, small_cfg, rng):
+        mpc = VisualServoMPC(small_cfg)
+        frame = rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(3), 2)
+        u0, sol = mpc.control_step(frame, scen)
+        assert u0.shape == (2, 6)
+        assert np.isfinite(np.asarray(sol.cost)).all()
