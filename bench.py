@@ -1,0 +1,65 @@
+"""Headline benchmark: MPC solves/s/chip at H=20 on 1080p Sobel features.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the BASELINE.json north-star target of
+1,000 solves/s/chip (the reference repo publishes no MPC numbers — its CSVs
+cover the CPU stencil harness, reproduced separately by ``-m ...bench``).
+
+The measured unit of work is one full per-frame control path: fused Pallas
+grayscale->Sobel on the 1080p frame, edge cost pyramid, and a batch of
+complete ADMM+iLQR MPC solves (H=20, 8 features, box-constrained), all in
+one jitted device computation. solves/s = scenarios * reps / wall.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SCENARIOS = 256
+REPS = 20
+
+
+def main() -> None:
+    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    cfg = MPCConfig(horizon=20, num_features=8, scenarios=SCENARIOS,
+                    ilqr_iters=3, admm_iters=5)
+    mpc = VisualServoMPC(cfg)
+
+    frame_hwc = imgio.load("/root/reference/images/test.jpg")
+    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+
+    scen = mpc.random_scenarios(jax.random.PRNGKey(0), SCENARIOS)
+    scen = jax.tree.map(jax.device_put, scen)
+
+    # Warm up (compile) then measure. Each rep materializes the control
+    # output on the host: on relayed/async device backends
+    # ``block_until_ready`` can return before execution finishes, so
+    # fetching bytes is the only honest sync point.
+    u0, sol = mpc.control_step(frame, scen)
+    np.asarray(u0)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        u0, sol = mpc.control_step(frame, scen)
+        np.asarray(u0)
+    wall = time.perf_counter() - t0
+
+    solves_per_s = SCENARIOS * REPS / wall
+    print(json.dumps({
+        "metric": "mpc_solves_per_s_per_chip_h20_1080p",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

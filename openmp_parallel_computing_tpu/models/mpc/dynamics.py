@@ -57,12 +57,44 @@ def rollout(p0: jax.Array, us: jax.Array, depth: jax.Array,
         nxt = step(p, u, depth, dt)
         return nxt, nxt
 
-    _, ps = jax.lax.scan(body, p0, us)
+    _, ps = jax.lax.scan(body, p0, us, unroll=4)
     return jnp.concatenate([p0[None], ps], axis=0)
 
 
 def linearize(p: jax.Array, u: jax.Array, depth: jax.Array, dt: float):
     """Jacobians (fx, fu) of ``step`` at one (p, u): (2m, 2m), (2m, 6)."""
     fx = jax.jacrev(lambda q: step(q, u, depth, dt))(p)
+    fu = dt * interaction_matrix(p, depth)
+    return fx, fu
+
+
+def linearize_analytic(p: jax.Array, u: jax.Array, depth: jax.Array,
+                       dt: float):
+    """Closed-form (fx, fu) — no autodiff, no dense jacobian buildup.
+
+    d(L(p)u)/dp is block-diagonal with one 2x2 block per feature:
+
+        dxdot/dx = vz/Z + y*wx - 2x*wy      dxdot/dy = x*wx + wz
+        dydot/dx = -y*wy - wz               dydot/dy = vz/Z + 2y*wx - x*wy
+
+    so fx = I + dt * blockdiag(...). Verified against ``linearize`` in
+    tests. Identical math an order of magnitude cheaper inside the iLQR
+    sweep (the reference-free analogue of hand-written stencil derivatives).
+    """
+    pts = p.reshape(-1, 2)
+    x, y = pts[:, 0], pts[:, 1]
+    iz = 1.0 / depth
+    vz, wx, wy, wz = u[2], u[3], u[4], u[5]
+    a = vz * iz + y * wx - 2.0 * x * wy      # dxdot/dx
+    b = x * wx + wz                          # dxdot/dy
+    c = -y * wy - wz                         # dydot/dx
+    d = vz * iz + 2.0 * y * wx - x * wy      # dydot/dy
+    blocks = jnp.stack(
+        [jnp.stack([a, b], -1), jnp.stack([c, d], -1)], -2)  # (m, 2, 2)
+    m = pts.shape[0]
+    eye_m = jnp.eye(m, dtype=p.dtype)
+    # (m,2,2) -> block-diagonal (2m, 2m) via outer product with basis.
+    bd = jnp.einsum("mij,mn->minj", blocks, eye_m).reshape(2 * m, 2 * m)
+    fx = jnp.eye(2 * m, dtype=p.dtype) + dt * bd
     fu = dt * interaction_matrix(p, depth)
     return fx, fu

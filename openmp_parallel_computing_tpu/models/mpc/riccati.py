@@ -40,8 +40,11 @@ def backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
         Quu = luu_k + fu_k.T @ Vxx @ fu_k
         Qux = lux_k + fu_k.T @ Vxx @ fx_k
         Quu_reg = Quu + reg * jnp.eye(Quu.shape[0], dtype=Quu.dtype)
-        K = -jnp.linalg.solve(Quu_reg, Qux)
-        kff = -jnp.linalg.solve(Quu_reg, Qu)
+        # One joint solve for [k | K] halves the per-step factorizations.
+        sol = -jnp.linalg.solve(
+            Quu_reg, jnp.concatenate([Qu[:, None], Qux], axis=1))
+        kff = sol[:, 0]
+        K = sol[:, 1:]
         Vx_new = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
         Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
@@ -51,7 +54,8 @@ def backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
 
     init = (vx, vxx, jnp.zeros((), vx.dtype), jnp.zeros((), vx.dtype))
     (_, _, dv1, dv2), (Ks, ks) = jax.lax.scan(
-        step, init, (fx, fu, lx, lu, lxx, luu, lux), reverse=True)
+        step, init, (fx, fu, lx, lu, lxx, luu, lux), reverse=True,
+        unroll=4)
     return Gains(K=Ks, k=ks, dV=jnp.stack([dv1, dv2]))
 
 
@@ -66,7 +70,7 @@ def forward(step_fn, p0, ps_nom, us_nom, gains: Gains, alpha):
         return nxt, (nxt, u)
 
     _, (ps, us) = jax.lax.scan(body, p0, (ps_nom[:-1], us_nom, gains.K,
-                                          gains.k))
+                                          gains.k), unroll=4)
     return jnp.concatenate([p0[None], ps], axis=0), us
 
 

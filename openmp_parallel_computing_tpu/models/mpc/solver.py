@@ -65,33 +65,56 @@ def _solve_single(pyramid, shape, scen: Scenario,
                                   cfg.r_ctrl, cfg.q_edge)
     terminal = costs.make_terminal_cost(pyramid, shape, scen.target,
                                         cfg.q_track, cfg.q_edge)
+    # Quadratic-only twins: the edge term is handled via its linearization
+    # (sampled once per sweep at the nominal trajectory) so the line search
+    # never re-samples the pyramid.
+    stage_q = costs.make_stage_cost(pyramid, shape, scen.target, cfg.q_track,
+                                    cfg.r_ctrl, 0.0)
+    terminal_q = costs.make_terminal_cost(pyramid, shape, scen.target,
+                                          cfg.q_track, 0.0)
+    expand = costs.make_expansions(pyramid, shape, scen.target, cfg.q_track,
+                                   cfg.r_ctrl, cfg.q_edge)
+
+    h_img, w_img = shape
+
+    def edge_only(p):
+        return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
+
+    edge_val_grad = jax.vmap(jax.value_and_grad(edge_only))
 
     rho = cfg.rho
     eye_c = jnp.eye(cdim, dtype=jnp.float32)
 
-    def aug_cost(ps, us, z, y):
-        base = riccati.trajectory_cost(stage, terminal, ps, us)
-        return base + 0.5 * rho * jnp.sum((us - z + y) ** 2)
-
     def ilqr_once(us, z, y):
         ps = dynamics.rollout(scen.p0, us, scen.depth, cfg.dt)
         fx, fu = jax.vmap(
-            lambda p, u: dynamics.linearize(p, u, scen.depth, cfg.dt))(
-                ps[:-1], us)
-        lx, lu, lxx, luu, lux, vx, vxx, _ = riccati.expand_costs(
-            stage, terminal, ps, us)
+            lambda p, u: dynamics.linearize_analytic(p, u, scen.depth,
+                                                     cfg.dt))(ps[:-1], us)
+        if cfg.q_edge:
+            e_ref, g_ref = edge_val_grad(ps)        # one sampling per sweep
+        else:
+            e_ref = jnp.zeros(ps.shape[0], ps.dtype)
+            g_ref = jnp.zeros_like(ps)
+        lx, lu, lxx, luu, lux, vx, vxx = expand(ps, us, edge_grads=g_ref)
         # Analytic expansion of the ADMM penalty 0.5*rho*||u - z + y||^2.
         lu = lu + rho * (us - z + y)
         luu = luu + rho * eye_c[None]
         gains = riccati.backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx)
 
+        def aug_cost_lin(ps_c, us_c):
+            quad = riccati.trajectory_cost(stage_q, terminal_q, ps_c, us_c)
+            edge = cfg.q_edge * jnp.sum(
+                e_ref + jnp.einsum("kn,kn->k", g_ref, ps_c - ps))
+            admm = 0.5 * rho * jnp.sum((us_c - z + y) ** 2)
+            return quad + edge + admm
+
         def try_alpha(alpha):
             ps_a, us_a = riccati.forward(step_fn, scen.p0, ps, us, gains,
                                          alpha)
-            return ps_a, us_a, aug_cost(ps_a, us_a, z, y)
+            return ps_a, us_a, aug_cost_lin(ps_a, us_a)
 
         ps_c, us_c, J_c = jax.vmap(try_alpha)(jnp.asarray(_ALPHAS))
-        j0 = aug_cost(ps, us, z, y)
+        j0 = aug_cost_lin(ps, us)
         best = jnp.argmin(J_c)
         improved = J_c[best] < j0
         return jnp.where(improved, us_c[best], us)

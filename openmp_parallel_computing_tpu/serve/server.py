@@ -1,0 +1,173 @@
+"""Synchronous HTTP serving surface.
+
+Capability twin of the reference microservice (``microservices/grayscale/
+app.py:10-45``): ``POST /<kernel>`` with a multipart ``image`` field and
+optional form fields ``passes`` and ``threads`` (devices here), returning the
+processed PNG with an ``X-Elapsed`` timing header. Differences, by design:
+
+- no subprocess per request — the model lives device-resident behind a jit
+  cache keyed on (kernel, shape, passes, devices);
+- ``X-Elapsed`` mirrors the reference (whole server-side handling, decode +
+  compute + encode); ``X-Compute`` additionally reports the device-only
+  span, the analogue of the kernel-region timing in the monolithic driver
+  (``monolithic/src/main.c:31-39``);
+- implemented on the stdlib ThreadingHTTPServer (no Flask dependency).
+
+Endpoints: POST /grayscale, /edge (fused sobel pipeline), /blur;
+GET /healthz.
+"""
+
+from __future__ import annotations
+
+import email.parser
+import email.policy
+import functools
+import io
+import json
+import tempfile
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmp_parallel_computing_tpu import imgio, ops, parallel
+from openmp_parallel_computing_tpu.utils.config import ServeConfig
+
+_KERNELS = {
+    "grayscale": ops.grayscale,
+    "edge": ops.edge_pipeline,
+    "blur": lambda img: ops.gaussian_blur(img),
+}
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled(kernel: str, shape: tuple, passes: int, devices: int):
+    base = _KERNELS[kernel]
+    if devices > 1:
+        mesh = parallel.make_mesh(data=1, model=devices,
+                                  devices=jax.devices()[:devices])
+        if kernel == "edge":
+            base = lambda img: parallel.sharded_edge_pipeline(img, mesh)
+
+    @jax.jit
+    def run(img):
+        return jax.lax.fori_loop(0, passes, lambda _, x: base(x), img)
+
+    return run
+
+
+def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
+                  devices: int) -> tuple[np.ndarray, float]:
+    """Run the kernel pipeline; returns (result HWC u8, device seconds)."""
+    chw = jnp.asarray(np.transpose(data_hwc, (2, 0, 1)))
+    if devices > 1:
+        pad = (-chw.shape[1]) % devices
+        if pad:
+            chw = jnp.pad(chw, ((0, 0), (0, pad), (0, 0)))
+    run = _compiled(kernel, chw.shape, passes, devices)
+    _ = np.asarray(run(chw))  # warm compile outside the timed region
+    t0 = time.perf_counter()
+    out = np.asarray(run(chw))
+    compute_s = time.perf_counter() - t0
+    out = out[:, :data_hwc.shape[0], :]
+    return np.transpose(out, (1, 2, 0)), compute_s
+
+
+def _parse_multipart(content_type: str, body: bytes):
+    """Parse a multipart/form-data body into {field: bytes_or_str}."""
+    parser = email.parser.BytesParser(policy=email.policy.HTTP)
+    msg = parser.parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body)
+    fields: dict[str, bytes | str] = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True)
+        if part.get_filename() is None and payload is not None:
+            fields[name] = payload.decode(errors="replace").strip()
+        else:
+            fields[name] = payload or b""
+    return fields
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "ompc-serve/0.1"
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            payload = json.dumps({
+                "status": "ok",
+                "backend": jax.default_backend(),
+                "devices": len(jax.devices()),
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        else:
+            self.send_error(404)
+
+    def do_POST(self):
+        kernel = self.path.strip("/")
+        if kernel not in _KERNELS:
+            self.send_error(404, f"unknown kernel {kernel!r}")
+            return
+        t_start = time.perf_counter()
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            fields = _parse_multipart(self.headers.get("Content-Type", ""),
+                                      body)
+            image = fields.get("image")
+            if not isinstance(image, bytes) or not image:
+                self.send_error(400, "missing multipart field 'image'")
+                return
+            passes = max(1, int(fields.get("passes", 1)))
+            devices = max(1, min(int(fields.get("threads", 1)),
+                                 len(jax.devices())))
+            with tempfile.TemporaryDirectory() as td:
+                src = Path(td) / "upload"
+                src.write_bytes(image)
+                decoded = imgio.load(src)
+                out_hwc, compute_s = process_image(decoded, kernel, passes,
+                                                   devices)
+                dst = Path(td) / "out.png"
+                imgio.save_png(dst, out_hwc)
+                png = dst.read_bytes()
+        except Exception as exc:  # reference 500s with logged stderr
+            self.log_error("processing failed: %r", exc)
+            self.send_error(500, str(exc))
+            return
+        elapsed = time.perf_counter() - t_start
+        self.send_response(200)
+        self.send_header("Content-Type", "image/png")
+        self.send_header("Content-Length", str(len(png)))
+        self.send_header("X-Elapsed", f"{elapsed:.4f}")
+        self.send_header("X-Compute", f"{compute_s:.4f}")
+        self.end_headers()
+        self.wfile.write(png)
+
+    def log_message(self, fmt, *args):  # quiet default request logging
+        pass
+
+
+def serve(cfg: ServeConfig | None = None) -> ThreadingHTTPServer:
+    cfg = cfg or ServeConfig()
+    httpd = ThreadingHTTPServer((cfg.host, cfg.port), Handler)
+    return httpd
+
+
+def main() -> None:
+    cfg = ServeConfig()
+    httpd = serve(cfg)
+    print(f"serving on {cfg.host}:{cfg.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,20 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(tree) -> None:
+    """Barrier that is honest on relayed/async backends.
+
+    ``jax.block_until_ready`` can return before execution completes on
+    remote-relayed device backends; fetching bytes that *depend* on the
+    result is the reliable sync. This pulls a single scalar derived from
+    the first array leaf (4 bytes host traffic, forces full execution).
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(jnp.sum(jnp.ravel(leaf)[:1]))
 
 
 @dataclasses.dataclass
@@ -57,11 +71,11 @@ def device_time(fn: Callable, *args, runs: int = 5, warmup: int = 1,
     (e.g. a scan over kernel passes) so the result is per-iteration.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     values = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
         values.append((time.perf_counter() - t0) / inner_iters)
     mean = sum(values) / len(values)
     var = sum((v - mean) ** 2 for v in values) / len(values)

@@ -35,6 +35,18 @@ class TestDynamics:
         ps = dynamics.rollout(jnp.zeros(8), us, jnp.ones(4), 0.03)
         assert ps.shape == (21, 8)
 
+    def test_analytic_linearization_matches_autodiff(self):
+        key = jax.random.PRNGKey(7)
+        p = jax.random.normal(key, (8,)) * 0.4
+        u = jax.random.normal(jax.random.PRNGKey(8), (6,))
+        depth = jnp.array([1.0, 2.0, 3.0, 0.7])
+        fx_a, fu_a = dynamics.linearize_analytic(p, u, depth, 0.04)
+        fx_d, fu_d = dynamics.linearize(p, u, depth, 0.04)
+        np.testing.assert_allclose(np.asarray(fx_a), np.asarray(fx_d),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fu_a), np.asarray(fu_d),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_linearize_matches_autodiff(self):
         key = jax.random.PRNGKey(0)
         p = jax.random.normal(key, (8,)) * 0.3
