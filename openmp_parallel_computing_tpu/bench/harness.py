@@ -118,6 +118,40 @@ def bench_kernel(image: str | Path | np.ndarray, workers=(1,), runs: int = 3,
     return rows
 
 
+def bench_service(image: str | Path, url: str, workers=(1,), runs: int = 3,
+                  passes: int = 1, kernel: str = "grayscale",
+                  out_dir: str | Path = "results") -> list[dict]:
+    """Service-tier sweep against a running HTTP endpoint (C11 contract):
+    per device count, ``runs`` requests; records end-to-end request time and
+    the server-side X-Elapsed span; CSV schema
+    ``threads,avg_request_sec,std_request_sec,avg_service_sec,
+    std_service_sec`` (bench_grayscale_service.sh:19)."""
+    from openmp_parallel_computing_tpu.serve.client import run_request
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for w in workers:
+        req, svc = [], []
+        for i in range(runs):
+            r = run_request(url, image, out_dir / f".svc_out_{w}.png",
+                            kernel=kernel, threads=w, passes=passes)
+            req.append(r["request_s"])
+            svc.append(r["service_s"])
+        rows.append({
+            "threads": w,
+            "avg_request_sec": float(np.mean(req)),
+            "std_request_sec": float(np.std(req)),
+            "avg_service_sec": float(np.mean(svc)),
+            "std_service_sec": float(np.std(svc)),
+        })
+    with open(out_dir / "service_bench.csv", "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        wr.writeheader()
+        wr.writerows(rows)
+    return rows
+
+
 def plot_sweep(rows: list[SweepRow], out_dir: Path, kernel: str) -> None:
     """tempo/speedup plots in the reference's format."""
     import matplotlib

