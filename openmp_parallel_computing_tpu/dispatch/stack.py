@@ -1,0 +1,71 @@
+"""Single-command stack launcher.
+
+Capability twin of the reference's compose topology
+(``event-driven/docker-compose.yml:1-41``: storage + broker + worker +
+frontend): starts the frontend HTTP server and N worker processes over one
+shared dispatch root. The storage and broker are the in-process durable
+store/queue (no external services), so ``python -m
+openmp_parallel_computing_tpu.dispatch.stack`` is the whole
+``docker compose up``.
+
+Worker death is survivable by design: unacked jobs redeliver after the
+visibility timeout, and workers are plain processes that can be restarted
+(or scaled: ``--workers N`` is the replication recipe of
+``event-driven/README.md:57-73``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing as mp
+import signal
+import sys
+
+from openmp_parallel_computing_tpu.utils.config import DispatchConfig
+
+
+def _worker_main(cfg: DispatchConfig) -> None:
+    from openmp_parallel_computing_tpu.dispatch.worker import Worker
+
+    Worker(cfg).run()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default=None, help="dispatch root directory")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--workers", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    cfg = DispatchConfig()
+    if args.root:
+        cfg.root = args.root
+
+    ctx = mp.get_context("spawn")
+    workers = [ctx.Process(target=_worker_main, args=(cfg,), daemon=True)
+               for _ in range(args.workers)]
+    for w in workers:
+        w.start()
+
+    from openmp_parallel_computing_tpu.dispatch.frontend import serve
+
+    httpd, state = serve(cfg, port=args.port)
+    print(f"frontend on :{args.port}, {args.workers} worker(s), "
+          f"root={cfg.root}")
+
+    def shutdown(*_):
+        httpd.shutdown()
+
+    signal.signal(signal.SIGINT, shutdown)
+    signal.signal(signal.SIGTERM, shutdown)
+    try:
+        httpd.serve_forever()
+    finally:
+        state.shutdown()
+        for w in workers:
+            w.terminate()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
