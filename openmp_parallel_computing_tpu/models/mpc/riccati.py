@@ -27,6 +27,48 @@ class Gains(NamedTuple):
     dV: jax.Array     # (2,) expected cost decrease coefficients
 
 
+def spd_solve(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve A X = B for small SPD A via fully unrolled Cholesky.
+
+    A (..., n, n), B (..., n, k) with n known statically and small (the
+    control dimension, 6). Every operation is a batched elementwise op or
+    tiny contraction — on TPU this runs far faster than the batched LU of
+    ``jnp.linalg.solve`` (pivoting lowers to long scalarized sequences)
+    while vmapping cleanly over scenario batches.
+    """
+    n = A.shape[-1]
+    # Cholesky: L rows built column-by-column, kept as a list of (.., n)
+    # row vectors to avoid materializing scatter updates.
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for p in range(j):
+            s = s - L[j][p] * L[j][p]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            L[i][j] = s * inv_d
+    # Forward substitution: L Y = B  (Y rows (..., k)).
+    Y = [None] * n
+    for i in range(n):
+        s = B[..., i, :]
+        for p in range(i):
+            s = s - L[i][p][..., None] * Y[p]
+        Y[i] = s / L[i][i][..., None]
+    # Backward substitution: L^T X = Y.
+    X = [None] * n
+    for i in reversed(range(n)):
+        s = Y[i]
+        for p in range(i + 1, n):
+            s = s - L[p][i][..., None] * X[p]
+        X[i] = s / L[i][i][..., None]
+    return jnp.stack(X, axis=-2)
+
+
 def backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
              reg: float = 1e-6) -> Gains:
     """Riccati backward sweep; returns time-varying affine gains."""
@@ -34,17 +76,19 @@ def backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
     def step(carry, inp):
         Vx, Vxx, dv1, dv2 = carry
         fx_k, fu_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
+        Vxx_fx = Vxx @ fx_k                 # shared by Qxx and Qux
+        Vxx_fu = Vxx @ fu_k                 # shared by Quu
         Qx = lx_k + fx_k.T @ Vx
         Qu = lu_k + fu_k.T @ Vx
-        Qxx = lxx_k + fx_k.T @ Vxx @ fx_k
-        Quu = luu_k + fu_k.T @ Vxx @ fu_k
-        Qux = lux_k + fu_k.T @ Vxx @ fx_k
+        Qxx = lxx_k + fx_k.T @ Vxx_fx
+        Quu = luu_k + fu_k.T @ Vxx_fu
+        Qux = lux_k + fu_k.T @ Vxx_fx
         Quu_reg = Quu + reg * jnp.eye(Quu.shape[0], dtype=Quu.dtype)
-        # One joint solve for [k | K] halves the per-step factorizations.
-        sol = -jnp.linalg.solve(
-            Quu_reg, jnp.concatenate([Qu[:, None], Qux], axis=1))
-        kff = sol[:, 0]
-        K = sol[:, 1:]
+        # One joint SPD solve for [k | K]; unrolled Cholesky (see spd_solve).
+        sol = -spd_solve(
+            Quu_reg, jnp.concatenate([Qu[..., None], Qux], axis=-1))
+        kff = sol[..., 0]
+        K = sol[..., 1:]
         Vx_new = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
         Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
