@@ -5,6 +5,12 @@ from openmp_parallel_computing_tpu.models.mpc import (  # noqa: F401
     dynamics,
     riccati,
 )
+from openmp_parallel_computing_tpu.models.mpc.distributed import (  # noqa: F401
+    DistributedMPC,
+)
+from openmp_parallel_computing_tpu.models.mpc.runtime import (  # noqa: F401
+    MPCRuntime,
+)
 from openmp_parallel_computing_tpu.models.mpc.solver import (  # noqa: F401
     Scenario,
     Solution,

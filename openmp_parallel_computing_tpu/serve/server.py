@@ -94,6 +94,54 @@ def _parse_multipart(content_type: str, body: bytes):
     return fields
 
 
+@functools.lru_cache(maxsize=4)
+def _mpc_engine(horizon: int, num_features: int):
+    from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    return VisualServoMPC(MPCConfig(horizon=horizon,
+                                    num_features=num_features))
+
+
+def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
+    """Real-time control endpoint body: frame + scenario state -> first
+    controls (the MPC engine as a service; BASELINE's 'real-time control
+    endpoint' replacing the batch-only reference surface)."""
+    from openmp_parallel_computing_tpu.models.mpc import Scenario
+
+    def parse(name):
+        raw = fields.get(name)
+        if raw is None:
+            raise ValueError(f"missing field {name!r}")
+        vec = np.asarray([float(v) for v in str(raw).split(",")],
+                         np.float32)
+        return vec
+
+    p0 = parse("p0")
+    target = parse("target")
+    depth = parse("depth")
+    horizon = int(fields.get("horizon", 20))
+    m = depth.size
+    if p0.size != 2 * m or target.size != 2 * m:
+        raise ValueError("p0/target must have 2*len(depth) entries")
+    mpc = _mpc_engine(horizon, m)
+    scen = Scenario(
+        p0=jnp.asarray(p0)[None], target=jnp.asarray(target)[None],
+        depth=jnp.asarray(depth)[None],
+        us0=jnp.zeros((1, horizon, 6), jnp.float32))
+    chw = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    t0 = time.perf_counter()
+    u0, sol = mpc.control_step(chw, scen)
+    u0 = np.asarray(u0)
+    compute_s = time.perf_counter() - t0
+    return {
+        "u0": u0[0].tolist(),
+        "cost": float(np.asarray(sol.cost)[0]),
+        "primal_residual": float(np.asarray(sol.primal_residual)[0]),
+        "compute_s": round(compute_s, 4),
+    }
+
+
 class Handler(BaseHTTPRequestHandler):
     server_version = "ompc-serve/0.1"
 
@@ -114,6 +162,9 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         kernel = self.path.strip("/")
+        if kernel == "control":
+            self._do_control()
+            return
         if kernel not in _KERNELS:
             self.send_error(404, f"unknown kernel {kernel!r}")
             return
@@ -151,6 +202,34 @@ class Handler(BaseHTTPRequestHandler):
         self.send_header("X-Compute", f"{compute_s:.4f}")
         self.end_headers()
         self.wfile.write(png)
+
+    def _do_control(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            fields = _parse_multipart(self.headers.get("Content-Type", ""),
+                                      self.rfile.read(length))
+            image = fields.get("image")
+            if not isinstance(image, bytes) or not image:
+                self.send_error(400, "missing multipart field 'image'")
+                return
+            with tempfile.TemporaryDirectory() as td:
+                src = Path(td) / "frame"
+                src.write_bytes(image)
+                frame = imgio.load(src)
+            result = control_request(frame, fields)
+        except ValueError as exc:
+            self.send_error(400, str(exc))
+            return
+        except Exception as exc:
+            self.log_error("control failed: %r", exc)
+            self.send_error(500, str(exc))
+            return
+        payload = json.dumps(result).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
 
     def log_message(self, fmt, *args):  # quiet default request logging
         pass
