@@ -34,9 +34,9 @@ from openmp_parallel_computing_tpu import imgio, ops, parallel
 from openmp_parallel_computing_tpu.utils.timing import sync
 
 KERNELS = {
-    "grayscale": lambda img: ops.grayscale(img),
-    "edge": lambda img: ops.edge_pipeline(img),
-    "blur": lambda img: ops.gaussian_blur(img).astype(jnp.uint8),
+    "grayscale": lambda img, passes=1: ops.grayscale(img, passes=passes),
+    "edge": lambda img, passes=1: ops.edge_pipeline(img, passes=passes),
+    "blur": lambda img, passes=1: ops.gaussian_blur(img, passes=passes),
 }
 
 
@@ -50,18 +50,22 @@ class SweepRow:
 
 
 def _passes_fn(kernel_name: str, passes: int, mesh=None):
-    """One jitted computation running the kernel ``passes`` times on device."""
-    base = KERNELS[kernel_name]
+    """One jitted computation running the kernel ``passes`` times on device.
+    Unsharded kernels hoist padding out of the pass loop (ops' ``passes``);
+    the spatially sharded path loops the sharded pipeline."""
     if mesh is not None and mesh.shape[parallel.MODEL_AXIS] > 1:
         if kernel_name == "grayscale":
             raise ValueError("sharded sweep supports stencil kernels")
         base = lambda img: parallel.sharded_edge_pipeline(img, mesh)
 
-    @jax.jit
-    def run(img):
-        return jax.lax.fori_loop(0, passes, lambda _, x: base(x), img)
+        @jax.jit
+        def run(img):
+            return jax.lax.fori_loop(0, passes, lambda _, x: base(x), img)
 
-    return run
+        return run
+
+    base = KERNELS[kernel_name]
+    return jax.jit(lambda img: base(img, passes=passes))
 
 
 def bench_kernel(image: str | Path | np.ndarray, workers=(1,), runs: int = 3,

@@ -56,21 +56,22 @@ def main(argv: list[str] | None = None) -> int:
     chw = jnp.asarray(np.transpose(hwc, (2, 0, 1)))
     devices = max(1, min(args.devices, len(jax.devices())))
     base = {
-        "grayscale": ops.grayscale,
-        "edge": ops.edge_pipeline,
-        "blur": lambda img: ops.gaussian_blur(img),
+        "grayscale": lambda img, passes=1: ops.grayscale(img, passes=passes),
+        "edge": lambda img, passes=1: ops.edge_pipeline(img, passes=passes),
+        "blur": lambda img, passes=1: ops.gaussian_blur(img, passes=passes),
     }[args.kernel]
     orig_h = chw.shape[1]
     if devices > 1 and args.kernel == "edge":
         mesh = parallel.make_mesh(data=1, model=devices,
                                   devices=jax.devices()[:devices])
-        base = lambda img: parallel.sharded_edge_pipeline(img, mesh)
+        sharded = lambda img: parallel.sharded_edge_pipeline(img, mesh)
         pad = (-orig_h) % devices
         if pad:
             chw = jnp.pad(chw, ((0, 0), (0, pad), (0, 0)))
-
-    run = jax.jit(
-        lambda img: jax.lax.fori_loop(0, passes, lambda _, x: base(x), img))
+        run = jax.jit(lambda img: jax.lax.fori_loop(
+            0, passes, lambda _, x: sharded(x), img))
+    else:
+        run = jax.jit(lambda img: base(img, passes=passes))
     sync(run(chw))  # compile outside the timed region (decode also excluded)
 
     t0 = time.perf_counter()

@@ -76,43 +76,56 @@ def _conv_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int,
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "norm", "integer",
-                                             "clamp_u8", "strip"))
+                                             "clamp_u8", "strip", "passes"))
 def conv3x3(img: jax.Array, taps=xla_ref.GBLUR_KERNEL,
             norm: int | float = xla_ref.GBLUR_NORM, integer: bool = True,
-            clamp_u8: bool = False, strip: int | None = None) -> jax.Array:
+            clamp_u8: bool = False, strip: int | None = None,
+            passes: int = 1) -> jax.Array:
     """Planar (C, H, W) -> (C, H, W) 3x3 weighted convolution.
 
     ``integer=True`` -> int32 accumulate + truncating division (reference
     semantics); otherwise f32. ``clamp_u8=True`` additionally clamps to
-    [0, 255] and returns uint8 (the usable blur-image op).
+    [0, 255] and returns uint8 (the usable blur-image op, which is also the
+    mode that supports efficient on-device ``passes`` repetition).
     """
     c, h, w = img.shape
     th = strip or pick_strip(h)
     x = pad2d(img, th, LANE)
-    _, hp, wp = x.shape
-    n = hp // th
     acc_dtype = jnp.int32 if integer else jnp.float32
     out_dtype = jnp.uint8 if clamp_u8 else acc_dtype
 
-    spec = lambda fn: pl.BlockSpec((c, th, wp), fn, memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_conv_kernel, th=th, h=h, taps=taps, norm=norm,
-                          integer=integer, acc_dtype=acc_dtype,
-                          out_dtype=out_dtype, clamp_u8=clamp_u8),
-        grid=(n,),
-        in_specs=[
-            spec(lambda i: (0, jnp.maximum(i - 1, 0), 0)),
-            spec(lambda i: (0, i, 0)),
-            spec(lambda i: (0, jnp.minimum(i + 1, n - 1), 0)),
-        ],
-        out_specs=spec(lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), out_dtype),
-        interpret=interpret_mode(),
-    )(x, x, x)
+    def one(v):
+        _, hp, wp = v.shape
+        n = hp // th
+        spec = lambda fn: pl.BlockSpec((c, th, wp), fn,
+                                       memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_conv_kernel, th=th, h=h, taps=taps, norm=norm,
+                              integer=integer, acc_dtype=acc_dtype,
+                              out_dtype=out_dtype, clamp_u8=clamp_u8),
+            grid=(n,),
+            in_specs=[
+                spec(lambda i: (0, jnp.maximum(i - 1, 0), 0)),
+                spec(lambda i: (0, i, 0)),
+                spec(lambda i: (0, jnp.minimum(i + 1, n - 1), 0)),
+            ],
+            out_specs=spec(lambda i: (0, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), out_dtype),
+            interpret=interpret_mode(),
+        )(v, v, v)
+
+    if passes == 1 or out_dtype != x.dtype:
+        # Unrolled host loop when in/out dtypes differ (e.g. u8 -> int32):
+        # each pass consumes the previous pass's accumulator dtype.
+        out = one(x)
+        for _ in range(passes - 1):
+            out = one(out)
+    else:
+        out = jax.lax.fori_loop(0, passes, lambda _, v: one(v), x)
     return crop2d(out, h, w)
 
 
-def gaussian_blur(img: jax.Array) -> jax.Array:
+def gaussian_blur(img: jax.Array, passes: int = 1) -> jax.Array:
     """1-2-1 Gaussian blur of a planar u8 image, reference GBLUR semantics."""
     return conv3x3(img, xla_ref.GBLUR_KERNEL, xla_ref.GBLUR_NORM,
-                   integer=True, clamp_u8=True)
+                   integer=True, clamp_u8=True, passes=passes)

@@ -54,14 +54,9 @@ def _grayscale_kernel(img_ref, out_ref, *, channels: int):
         out_ref[3] = img_ref[3]
 
 
-@functools.partial(jax.jit, static_argnames=("strip",))
-def grayscale(img: jax.Array, strip: int | None = None) -> jax.Array:
-    """Planar (C, H, W) u8 -> (C, H, W) u8 grayscale via a Pallas kernel."""
-    c, h, w = img.shape
-    th = strip or pick_strip(h)
-    x = pad2d(img, th, LANE)
-    hp, wp = x.shape[-2:]
-    out = pl.pallas_call(
+def _grayscale_padded(x: jax.Array, th: int) -> jax.Array:
+    c, hp, wp = x.shape
+    return pl.pallas_call(
         functools.partial(_grayscale_kernel, channels=c),
         grid=(hp // th,),
         in_specs=[pl.BlockSpec((c, th, wp), lambda i: (0, i, 0),
@@ -71,4 +66,23 @@ def grayscale(img: jax.Array, strip: int | None = None) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
         interpret=interpret_mode(),
     )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("strip", "passes"))
+def grayscale(img: jax.Array, strip: int | None = None,
+              passes: int = 1) -> jax.Array:
+    """Planar (C, H, W) u8 -> (C, H, W) u8 grayscale via a Pallas kernel.
+
+    ``passes`` repeats the kernel on-device (the reference drivers' repeat
+    loop, ``monolithic/src/main.c:33-35``); padding/cropping happens once
+    outside the loop so repeated passes run at pure kernel bandwidth.
+    """
+    c, h, w = img.shape
+    th = strip or pick_strip(h)
+    x = pad2d(img, th, LANE)
+    if passes == 1:
+        out = _grayscale_padded(x, th)
+    else:
+        out = jax.lax.fori_loop(
+            0, passes, lambda _, v: _grayscale_padded(v, th), x)
     return crop2d(out, h, w)

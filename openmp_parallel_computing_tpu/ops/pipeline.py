@@ -75,22 +75,12 @@ def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,
         out_ref[3] = cur_ref[3]
 
 
-@functools.partial(jax.jit, static_argnames=("strip", "border"))
-def edge_pipeline(img: jax.Array, strip: int | None = None,
-                  border: str = "zero") -> jax.Array:
-    """Planar (C, H, W) u8 -> (C, H, W) u8 Sobel-edge image, fully fused.
-
-    ``border`` as in ``ops.sobel``: "zero" masks the image border, "none"
-    computes every row (for halo-extended shards).
-    """
-    c, h, w = img.shape
-    th = strip or pick_strip(h)
-    x = pad2d(img, th, LANE)
-    _, hp, wp = x.shape
+def _edge_padded(x: jax.Array, th: int, h: int, w: int,
+                 border: str) -> jax.Array:
+    c, hp, wp = x.shape
     n = hp // th
-
     spec = lambda fn: pl.BlockSpec((c, th, wp), fn, memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_edge_kernel, th=th, h=h, w=w, channels=c,
                           border=border),
         grid=(n,),
@@ -103,4 +93,24 @@ def edge_pipeline(img: jax.Array, strip: int | None = None,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
         interpret=interpret_mode(),
     )(x, x, x)
+
+
+@functools.partial(jax.jit, static_argnames=("strip", "border", "passes"))
+def edge_pipeline(img: jax.Array, strip: int | None = None,
+                  border: str = "zero", passes: int = 1) -> jax.Array:
+    """Planar (C, H, W) u8 -> (C, H, W) u8 Sobel-edge image, fully fused.
+
+    ``border`` as in ``ops.sobel``: "zero" masks the image border, "none"
+    computes every row (for halo-extended shards). ``passes`` repeats the
+    whole pipeline on-device with padding hoisted out of the loop
+    (``main_with_sobel.c:51-74`` reruns all four stages per pass likewise).
+    """
+    c, h, w = img.shape
+    th = strip or pick_strip(h)
+    x = pad2d(img, th, LANE)
+    if passes == 1:
+        out = _edge_padded(x, th, h, w, border)
+    else:
+        out = jax.lax.fori_loop(
+            0, passes, lambda _, v: _edge_padded(v, th, h, w, border), x)
     return crop2d(out, h, w)

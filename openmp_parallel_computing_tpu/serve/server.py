@@ -37,26 +37,27 @@ from openmp_parallel_computing_tpu import imgio, ops, parallel
 from openmp_parallel_computing_tpu.utils.config import ServeConfig
 
 _KERNELS = {
-    "grayscale": ops.grayscale,
-    "edge": ops.edge_pipeline,
-    "blur": lambda img: ops.gaussian_blur(img),
+    "grayscale": lambda img, passes=1: ops.grayscale(img, passes=passes),
+    "edge": lambda img, passes=1: ops.edge_pipeline(img, passes=passes),
+    "blur": lambda img, passes=1: ops.gaussian_blur(img, passes=passes),
 }
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled(kernel: str, shape: tuple, passes: int, devices: int):
-    base = _KERNELS[kernel]
-    if devices > 1:
+    if devices > 1 and kernel == "edge":
         mesh = parallel.make_mesh(data=1, model=devices,
                                   devices=jax.devices()[:devices])
-        if kernel == "edge":
-            base = lambda img: parallel.sharded_edge_pipeline(img, mesh)
+        sharded = lambda img: parallel.sharded_edge_pipeline(img, mesh)
 
-    @jax.jit
-    def run(img):
-        return jax.lax.fori_loop(0, passes, lambda _, x: base(x), img)
+        @jax.jit
+        def run(img):
+            return jax.lax.fori_loop(0, passes, lambda _, x: sharded(x), img)
 
-    return run
+        return run
+
+    base = _KERNELS[kernel]
+    return jax.jit(lambda img: base(img, passes=passes))
 
 
 def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
