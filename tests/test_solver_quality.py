@@ -1,0 +1,73 @@
+"""Solver quality validation: the default iteration budget must land within
+tolerance of a high-budget "converged" baseline (the BASELINE.md
+'control-sequence parity within tolerance at the same horizon' check), and
+the scaling harness must run end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+
+@pytest.fixture(scope="module")
+def edge_map():
+    rng = np.random.default_rng(17)
+    return jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+
+
+def test_default_budget_near_converged(edge_map):
+    m, h = 4, 20
+    base_kwargs = dict(horizon=h, num_features=m)
+    fast = VisualServoMPC(MPCConfig(**base_kwargs, ilqr_iters=3,
+                                    admm_iters=5))
+    slow = VisualServoMPC(MPCConfig(**base_kwargs, ilqr_iters=8,
+                                    admm_iters=15))
+    scen = fast.random_scenarios(jax.random.PRNGKey(0), 8)
+    cost_fast = np.asarray(fast.solve_batch(edge_map, scen).cost)
+    cost_slow = np.asarray(slow.solve_batch(edge_map, scen).cost)
+    # Converged baseline should not be dramatically better than the
+    # real-time budget; 10% mean regression is the acceptance bar.
+    rel = (cost_fast - cost_slow) / np.maximum(np.abs(cost_slow), 1e-3)
+    assert rel.mean() < 0.10, f"default budget too loose: {rel}"
+
+
+def test_solutions_beat_zero_and_greedy(edge_map):
+    """The optimizer must beat trivial policies on its own objective."""
+    from openmp_parallel_computing_tpu.models.mpc import (
+        Scenario, costs, dynamics, riccati)
+    cfg = MPCConfig(horizon=12, num_features=4, ilqr_iters=3, admm_iters=5)
+    mpc = VisualServoMPC(cfg)
+    scen = mpc.random_scenarios(jax.random.PRNGKey(1), 4)
+    sol = mpc.solve_batch(edge_map, scen)
+
+    pyramid = costs.build_cost_pyramid(edge_map)
+    shape = edge_map.shape
+
+    def traj_cost(s, us):
+        stage = costs.make_stage_cost(pyramid, shape, s.target, cfg.q_track,
+                                      cfg.r_ctrl, cfg.q_edge)
+        term = costs.make_terminal_cost(pyramid, shape, s.target,
+                                        cfg.q_track, cfg.q_edge)
+        ps = dynamics.rollout(s.p0, us, s.depth, cfg.dt)
+        return float(riccati.trajectory_cost(stage, term, ps, us))
+
+    for i in range(4):
+        s = jax.tree.map(lambda a: a[i], scen)
+        zero = traj_cost(s, jnp.zeros((cfg.horizon, 6)))
+        ours = traj_cost(s, sol.us[i])
+        assert ours <= zero + 1e-4, f"scenario {i}: {ours} vs zero {zero}"
+
+
+def test_scaling_harness_runs(tmp_path):
+    from openmp_parallel_computing_tpu.bench.scaling import measure_scaling
+
+    cfg = MPCConfig(horizon=4, num_features=2, ilqr_iters=1, admm_iters=1)
+    rows = measure_scaling(cfg, device_counts=[1, 2], scen_per_device=2,
+                           runs=1, frame_shape=(3, 16, 128),
+                           out_dir=tmp_path)
+    assert len(rows) == 2
+    assert rows[0]["efficiency"] == 1.0
+    assert (tmp_path / "scaling_efficiency.csv").exists()
