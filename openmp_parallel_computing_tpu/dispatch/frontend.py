@@ -191,7 +191,9 @@ def serve(cfg: DispatchConfig | None = None, port: int = 8080
 
 
 def main() -> None:
-    httpd, _ = serve()
+    from openmp_parallel_computing_tpu.utils.config import load
+
+    httpd, _ = serve(load().dispatch)
     print("frontend on :8080")
     httpd.serve_forever()
 

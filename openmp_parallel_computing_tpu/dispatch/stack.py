@@ -37,7 +37,9 @@ def main(argv=None) -> int:
     ap.add_argument("--workers", type=int, default=1)
     args = ap.parse_args(argv)
 
-    cfg = DispatchConfig()
+    from openmp_parallel_computing_tpu.utils.config import load
+
+    cfg = load().dispatch
     if args.root:
         cfg.root = args.root
 

@@ -81,7 +81,9 @@ class Worker:
 
 
 def main() -> None:
-    Worker().run()
+    from openmp_parallel_computing_tpu.utils.config import load
+
+    Worker(load().dispatch).run()
 
 
 if __name__ == "__main__":

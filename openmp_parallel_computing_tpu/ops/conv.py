@@ -32,24 +32,29 @@ from openmp_parallel_computing_tpu.ops.sobel import _shift_cols
 
 
 def _conv_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int,
-                 taps, norm, integer: bool, acc_dtype, out_dtype,
+                 w: int, taps, norm, integer: bool, acc_dtype, out_dtype,
                  clamp_u8: bool):
     i = pl.program_id(0)
     shape = cur_ref.shape[1:]
     grow = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * th
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    in_image = (grow < h) & (col < w)
 
     def planes(c):
-        cur = cast(cur_ref[c], acc_dtype)
+        zero = jnp.zeros(shape, acc_dtype)
+        # Zero-padded convolution: pixels outside [0,h)x[0,w) contribute 0.
+        # Masking the *inputs* (not just relying on array zero-padding)
+        # keeps repeated passes correct — a previous pass writes nonzero
+        # values into the padding region next to the image edge.
+        cur = jnp.where(in_image, cast(cur_ref[c], acc_dtype), zero)
         above = jnp.concatenate(
             [cast(up_ref[c, th - 1:th, :], acc_dtype), cur[:-1]], axis=0)
         below = jnp.concatenate(
             [cur[1:], cast(dn_ref[c, 0:1, :], acc_dtype)], axis=0)
-        # Zero-padded convolution: rows outside [0, h) contribute 0. The
-        # clamped up/down views would otherwise leak wrap-around rows at the
-        # image top/bottom.
-        zero = jnp.zeros_like(cur)
-        above = jnp.where(grow == 0, zero, above)
-        below = jnp.where(grow == h - 1, zero, below)
+        # Row halos come from neighbor strips: mask both the image-boundary
+        # wrap-around (clamped up/down views) and their padding columns.
+        above = jnp.where((grow == 0) | ~in_image, zero, above)
+        below = jnp.where((grow == h - 1) | ~in_image, zero, below)
         return above, cur, below
 
     c_total = cur_ref.shape[0]
@@ -100,8 +105,8 @@ def conv3x3(img: jax.Array, taps=xla_ref.GBLUR_KERNEL,
         spec = lambda fn: pl.BlockSpec((c, th, wp), fn,
                                        memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_conv_kernel, th=th, h=h, taps=taps, norm=norm,
-                              integer=integer, acc_dtype=acc_dtype,
+            functools.partial(_conv_kernel, th=th, h=h, w=w, taps=taps,
+                              norm=norm, integer=integer, acc_dtype=acc_dtype,
                               out_dtype=out_dtype, clamp_u8=clamp_u8),
             grid=(n,),
             in_specs=[

@@ -54,8 +54,15 @@ def _grayscale_kernel(img_ref, out_ref, *, channels: int):
         out_ref[3] = img_ref[3]
 
 
-def _grayscale_padded(x: jax.Array, th: int) -> jax.Array:
+def _grayscale_padded(x: jax.Array, th: int, in_place: bool = False
+                      ) -> jax.Array:
     c, hp, wp = x.shape
+    # in_place reproduces the reference kernel's in-place contract
+    # (parallel_to_grayscale.c writes into its input buffer): the input
+    # buffer is donated and aliased to the output. Safe for this kernel
+    # only — each grid step reads exactly the strip it overwrites; the
+    # stencil kernels read neighbor strips and must NOT alias.
+    aliases = {0: 0} if in_place else {}
     return pl.pallas_call(
         functools.partial(_grayscale_kernel, channels=c),
         grid=(hp // th,),
@@ -64,6 +71,7 @@ def _grayscale_padded(x: jax.Array, th: int) -> jax.Array:
         out_specs=pl.BlockSpec((c, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
+        input_output_aliases=aliases,
         interpret=interpret_mode(),
     )(x)
 
@@ -80,9 +88,13 @@ def grayscale(img: jax.Array, strip: int | None = None,
     c, h, w = img.shape
     th = strip or pick_strip(h)
     x = pad2d(img, th, LANE)
+    # Aliasing is always sound here: when the input is a jit-boundary
+    # argument XLA inserts the defensive copy itself; when it is a padded
+    # intermediate or the loop carry, the buffer is truly reused.
     if passes == 1:
-        out = _grayscale_padded(x, th)
+        out = _grayscale_padded(x, th, in_place=True)
     else:
         out = jax.lax.fori_loop(
-            0, passes, lambda _, v: _grayscale_padded(v, th), x)
+            0, passes, lambda _, v: _grayscale_padded(v, th, in_place=True),
+            x)
     return crop2d(out, h, w)

@@ -243,7 +243,9 @@ def serve(cfg: ServeConfig | None = None) -> ThreadingHTTPServer:
 
 
 def main() -> None:
-    cfg = ServeConfig()
+    from openmp_parallel_computing_tpu.utils.config import load
+
+    cfg = load().serve
     httpd = serve(cfg)
     print(f"serving on {cfg.host}:{cfg.port}")
     httpd.serve_forever()
