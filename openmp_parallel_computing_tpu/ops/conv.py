@@ -94,7 +94,7 @@ def conv3x3(img: jax.Array, taps=xla_ref.GBLUR_KERNEL,
     mode that supports efficient on-device ``passes`` repetition).
     """
     c, h, w = img.shape
-    th = strip or pick_strip(h)
+    th = strip or pick_strip(h, w)
     x = pad2d(img, th, LANE)
     acc_dtype = jnp.int32 if integer else jnp.float32
     out_dtype = jnp.uint8 if clamp_u8 else acc_dtype

@@ -28,16 +28,23 @@ from openmp_parallel_computing_tpu.ops._tiling import (
 )
 
 
-def pick_strip(h: int, sublane: int = 32, prefer: int = 256) -> int:
+def pick_strip(h: int, w: int = 2048, sublane: int = 32,
+               prefer: int = 256) -> int:
     """Pick a row-strip height: a multiple of ``sublane`` that balances block
-    size against zero-padding waste for this image height."""
+    size against zero-padding waste and keeps the stencil kernels' f32
+    working set (roughly a dozen (th, w) temporaries for the 3-view halo
+    kernels) inside the ~16 MiB VMEM budget for wide images."""
+    budget_rows = (10 * 1024 * 1024) // (max(w, 128) * 4 * 8)
+    cap = max(sublane, (budget_rows // sublane) * sublane)
     best = sublane
     for th in (prefer, prefer // 2, prefer // 4, sublane):
+        if th > cap:
+            continue
         waste = round_up(h, th) - h
         if waste <= max(sublane, int(0.08 * h)):
             best = th
             break
-    return min(best, round_up(h, sublane))
+    return min(best, cap, round_up(h, sublane))
 
 
 def _grayscale_kernel(img_ref, out_ref, *, channels: int):
@@ -86,7 +93,7 @@ def grayscale(img: jax.Array, strip: int | None = None,
     outside the loop so repeated passes run at pure kernel bandwidth.
     """
     c, h, w = img.shape
-    th = strip or pick_strip(h)
+    th = strip or pick_strip(h, w)
     x = pad2d(img, th, LANE)
     # Aliasing is always sound here: when the input is a jit-boundary
     # argument XLA inserts the defensive copy itself; when it is a padded

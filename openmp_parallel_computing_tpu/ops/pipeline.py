@@ -106,7 +106,7 @@ def edge_pipeline(img: jax.Array, strip: int | None = None,
     (``main_with_sobel.c:51-74`` reruns all four stages per pass likewise).
     """
     c, h, w = img.shape
-    th = strip or pick_strip(h)
+    th = strip or pick_strip(h, w)
     x = pad2d(img, th, LANE)
     if passes == 1:
         out = _edge_padded(x, th, h, w, border)

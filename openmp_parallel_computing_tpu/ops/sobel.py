@@ -87,7 +87,7 @@ def sobel(gray: jax.Array, strip: int | None = None,
     shard (see ``parallel.spatial``).
     """
     h, w = gray.shape
-    th = strip or pick_strip(h)
+    th = strip or pick_strip(h, w)
     x = pad2d(gray, th, LANE)
     hp, wp = x.shape
     n = hp // th
