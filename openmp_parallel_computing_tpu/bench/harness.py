@@ -136,6 +136,11 @@ def bench_service(image: str | Path, url: str, workers=(1,), runs: int = 3,
     out_dir.mkdir(parents=True, exist_ok=True)
     rows = []
     for w in workers:
+        # One unrecorded warmup request absorbs jit compilation (the
+        # reference service has no compile step; recording it would skew
+        # the mean by orders of magnitude on first contact).
+        run_request(url, image, out_dir / f".svc_out_{w}.png",
+                    kernel=kernel, threads=w, passes=passes)
         req, svc = [], []
         for i in range(runs):
             r = run_request(url, image, out_dir / f".svc_out_{w}.png",

@@ -60,6 +60,9 @@ def _compiled(kernel: str, shape: tuple, passes: int, devices: int):
     return jax.jit(lambda img: base(img, passes=passes))
 
 
+_warmed: set[tuple] = set()
+
+
 def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
                   devices: int) -> tuple[np.ndarray, float]:
     """Run the kernel pipeline; returns (result HWC u8, device seconds)."""
@@ -68,8 +71,11 @@ def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
         pad = (-chw.shape[1]) % devices
         if pad:
             chw = jnp.pad(chw, ((0, 0), (0, pad), (0, 0)))
-    run = _compiled(kernel, chw.shape, passes, devices)
-    _ = np.asarray(run(chw))  # warm compile outside the timed region
+    key = (kernel, chw.shape, passes, devices)
+    run = _compiled(*key)
+    if key not in _warmed:  # keep compile out of X-Compute, once per key
+        _ = np.asarray(run(chw))
+        _warmed.add(key)
     t0 = time.perf_counter()
     out = np.asarray(run(chw))
     compute_s = time.perf_counter() - t0
