@@ -126,7 +126,7 @@ unsigned char *decode_png(FILE *fp, int *w, int *h, int *channels) {
 }
 
 bool encode_png(const char *path, const unsigned char *data, int w, int h,
-                int channels, int stride_bytes) {
+                int channels, int stride_bytes, int compression) {
   int color;
   switch (channels) {
     case 1: color = PNG_COLOR_TYPE_GRAY; break;
@@ -152,6 +152,7 @@ bool encode_png(const char *path, const unsigned char *data, int w, int h,
     return false;
   }
   png_init_io(png, fp);
+  if (compression >= 0 && compression <= 9) png_set_compression_level(png, compression);
   png_set_IHDR(png, info, w, h, 8, color, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
@@ -201,9 +202,13 @@ unsigned char *imgio_load(const char *path, int *w, int *h, int *channels) {
 }
 
 // Encode interleaved u8 HWC as PNG. Returns 1 on success, 0 on failure.
+// compression: zlib level 0-9, or -1 for the library default. Serving paths
+// use a low level — pixel content is identical, only file size/time differ.
 int imgio_save_png(const char *path, const unsigned char *data, int w, int h,
-                   int channels, int stride_bytes) {
-  return encode_png(path, data, w, h, channels, stride_bytes) ? 1 : 0;
+                   int channels, int stride_bytes, int compression) {
+  return encode_png(path, data, w, h, channels, stride_bytes, compression)
+             ? 1
+             : 0;
 }
 
 }  // extern "C"
@@ -225,7 +230,7 @@ int main(int argc, char **argv) {
     return 1;
   }
   std::printf("%dx%d c=%d\n", w, h, c);
-  if (!imgio_save_png(argv[2], img, w, h, c, 0)) {
+  if (!imgio_save_png(argv[2], img, w, h, c, 0, -1)) {
     std::fprintf(stderr, "encode error: %s\n", imgio_last_error());
     imgio_free(img);
     return 1;

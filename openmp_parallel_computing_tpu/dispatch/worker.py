@@ -63,7 +63,7 @@ class Worker:
                 times[str(d)] = total / max(repeat, 1)
 
             dst = Path(td) / "out.png"
-            imgio.save_png(dst, np.asarray(out_hwc))
+            imgio.save_png(dst, np.asarray(out_hwc), compression=1)
             processed_key = f"processed/{Path(image_key).name}"
             self.store.put_file(processed_key, dst)
 

@@ -50,7 +50,7 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_int)] * 3
     lib.imgio_save_png.restype = ctypes.c_int
     lib.imgio_save_png.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte)] + [ctypes.c_int] * 4
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte)] + [ctypes.c_int] * 5
     lib.imgio_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
     lib.imgio_last_error.restype = ctypes.c_char_p
     _lib = lib
@@ -80,8 +80,13 @@ def load(path: str | os.PathLike) -> np.ndarray:
     return arr.reshape(h.value, w.value, c.value)
 
 
-def save_png(path: str | os.PathLike, img: np.ndarray) -> None:
-    """Encode an interleaved (H, W, C) or (H, W) u8 array as PNG."""
+def save_png(path: str | os.PathLike, img: np.ndarray,
+             compression: int = -1) -> None:
+    """Encode an interleaved (H, W, C) or (H, W) u8 array as PNG.
+
+    ``compression``: zlib level 0-9 (-1 = library default). Low levels trade
+    file size for encode speed; pixels are identical at every level.
+    """
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[..., None]
@@ -91,7 +96,7 @@ def save_png(path: str | os.PathLike, img: np.ndarray) -> None:
         return _save_pil(path, img)
     ok = lib.imgio_save_png(
         str(path).encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        w, h, c, w * c)
+        w, h, c, w * c, compression)
     if not ok:
         raise IOError(f"imgio: {lib.imgio_last_error().decode()} ({path})")
 

@@ -195,7 +195,9 @@ class Handler(BaseHTTPRequestHandler):
                 out_hwc, compute_s = process_image(decoded, kernel, passes,
                                                    devices)
                 dst = Path(td) / "out.png"
-                imgio.save_png(dst, out_hwc)
+                # Low zlib level: identical pixels, ~4x faster encode —
+                # PNG encoding dominates serving latency otherwise.
+                imgio.save_png(dst, out_hwc, compression=1)
                 png = dst.read_bytes()
         except Exception as exc:  # reference 500s with logged stderr
             self.log_error("processing failed: %r", exc)
