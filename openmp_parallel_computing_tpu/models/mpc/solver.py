@@ -142,6 +142,112 @@ def _solve_single(pyramid, shape, scen: Scenario,
     )
 
 
+def _solve_batch_fused(pyramid, shape, scen: Scenario,
+                       cfg: MPCConfig) -> Solution:
+    """Explicitly batched solve using the fused Pallas Riccati kernel.
+
+    Same mathematics as ``_solve_single`` under vmap, but the backward
+    sweep runs as ONE Pallas kernel over the whole scenario batch
+    (``riccati_pallas.backward_batched``) instead of H x ~12 small batched
+    XLA ops per sweep — the dominant cost on TPU, where tiny ops pay fixed
+    per-op overhead.
+    """
+    from openmp_parallel_computing_tpu.models.mpc.riccati_pallas import (
+        backward_batched)
+
+    B, h = scen.us0.shape[0], cfg.horizon
+    n = scen.p0.shape[-1]
+    cdim = dynamics.CONTROL_DIM
+    h_img, w_img = shape
+    target = scen.target
+    rho, q, r, qe = cfg.rho, cfg.q_track, cfg.r_ctrl, cfg.q_edge
+
+    def edge_only(p):
+        return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
+
+    edge_vg = jax.vmap(jax.vmap(jax.value_and_grad(edge_only)))
+    rollout_b = jax.vmap(
+        lambda p0, us, d: dynamics.rollout(p0, us, d, cfg.dt))
+    lin_b = jax.vmap(lambda ps, us, d: jax.vmap(
+        lambda p, u: dynamics.linearize_analytic(p, u, d, cfg.dt))(ps, us))
+
+    eye_n = jnp.eye(n, dtype=jnp.float32)
+    eye_c = jnp.eye(cdim, dtype=jnp.float32)
+
+    def quad_cost(ps, us):  # (B,H+1,n),(B,H,c) -> (B,)
+        track = q * jnp.sum((ps - target[:, None]) ** 2, axis=(1, 2))
+        ctrl = r * jnp.sum(us ** 2, axis=(1, 2))
+        return track + ctrl
+
+    def ilqr_once(us, z, y):
+        ps = rollout_b(scen.p0, us, scen.depth)
+        fx, fu = lin_b(ps[:, :-1], us, scen.depth)
+        if qe:
+            e_ref, g_ref = edge_vg(ps)          # (B,H+1), (B,H+1,n)
+        else:
+            e_ref = jnp.zeros(ps.shape[:2], ps.dtype)
+            g_ref = jnp.zeros_like(ps)
+        lx = 2.0 * q * (ps[:, :-1] - target[:, None]) + qe * g_ref[:, :-1]
+        lu = 2.0 * r * us + rho * (us - z + y)
+        lxx = jnp.broadcast_to(2.0 * q * eye_n, (B, h, n, n))
+        luu = jnp.broadcast_to((2.0 * r + rho) * eye_c, (B, h, cdim, cdim))
+        lux = jnp.zeros((B, h, cdim, n), jnp.float32)
+        vx = 2.0 * q * (ps[:, -1] - target) + qe * g_ref[:, -1]
+        vxx = jnp.broadcast_to(2.0 * q * eye_n, (B, n, n))
+        K, kff = backward_batched(fx, fu, lx, lu, lxx, luu, lux, vx, vxx)
+
+        def aug_cost_lin(ps_c, us_c):
+            edge = qe * (jnp.sum(e_ref, axis=1)
+                         + jnp.einsum("bkn,bkn->b", g_ref, ps_c - ps))
+            admm = 0.5 * rho * jnp.sum((us_c - z + y) ** 2, axis=(1, 2))
+            return quad_cost(ps_c, us_c) + edge + admm
+
+        def fwd(alpha):
+            def one(p0, ps_n, us_n, Kb, kb, d):
+                gains = riccati.Gains(K=Kb, k=kb,
+                                      dV=jnp.zeros(2, jnp.float32))
+                return riccati.forward(
+                    lambda p, u: dynamics.step(p, u, d, cfg.dt),
+                    p0, ps_n, us_n, gains, alpha)
+            ps_a, us_a = jax.vmap(one)(scen.p0, ps, us, K, kff, scen.depth)
+            return ps_a, us_a, aug_cost_lin(ps_a, us_a)
+
+        ps_c, us_c, J_c = jax.vmap(fwd)(jnp.asarray(_ALPHAS))  # (A,B,...)
+        j0 = aug_cost_lin(ps, us)                              # (B,)
+        best = jnp.argmin(J_c, axis=0)                         # (B,)
+        us_best = jnp.take_along_axis(
+            us_c, best[None, :, None, None], axis=0)[0]
+        improved = jnp.min(J_c, axis=0) < j0
+        return jnp.where(improved[:, None, None], us_best, us)
+
+    def admm_body(carry, _):
+        us, z, y = carry
+        us = jax.lax.fori_loop(
+            0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y), us)
+        z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
+        y = y + us - z
+        return (us, z, y), None
+
+    us0 = scen.us0
+    z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
+    y0 = jnp.zeros_like(us0)
+    (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
+                                 length=cfg.admm_iters)
+
+    ps = rollout_b(scen.p0, z, scen.depth)
+    if qe:
+        e_fin, _ = edge_vg(ps)
+        edge_cost_total = qe * jnp.sum(e_fin, axis=1)
+    else:
+        edge_cost_total = jnp.zeros(B, jnp.float32)
+    return Solution(
+        us=z,
+        ps=ps,
+        cost=quad_cost(ps, z) + edge_cost_total,
+        primal_residual=jnp.max(jnp.abs(us - z), axis=(1, 2)),
+    )
+
+
 class VisualServoMPC:
     """Batched visual-servo MPC over Sobel edge-feature maps.
 
@@ -175,6 +281,8 @@ class VisualServoMPC:
         batch. The cost pyramid is built once and shared by the batch."""
         pyramid = costs.build_cost_pyramid(edge_map)
         shape = edge_map.shape
+        if self.cfg.backend == "fused":
+            return _solve_batch_fused(pyramid, shape, scen, self.cfg)
         return jax.vmap(
             lambda s: _solve_single(pyramid, shape, s, self.cfg))(scen)
 
