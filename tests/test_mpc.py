@@ -141,6 +141,53 @@ class TestSolver:
                                 2 * small_cfg.num_features)
         assert sol.cost.shape == (5,)
 
+    def test_fused_backend_matches_reference(self, small_cfg):
+        """The Pallas batched-Riccati solver must reproduce the vmapped XLA
+        solver to fp tolerance on an identical problem."""
+        import dataclasses
+        import jax.numpy as jnp
+        rng = np.random.default_rng(13)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        fused = VisualServoMPC(
+            dataclasses.replace(small_cfg, backend="fused", q_edge=0.1))
+        ref = VisualServoMPC(
+            dataclasses.replace(small_cfg, backend="reference", q_edge=0.1))
+        scen = fused.random_scenarios(jax.random.PRNGKey(4), 5)
+        sf = fused.solve_batch(edge, scen)
+        sr = ref.solve_batch(edge, scen)
+        # fp noise amplifies over 10 nonconvex sweeps; controls agree to
+        # ~3e-3 in practice, costs much tighter.
+        np.testing.assert_allclose(np.asarray(sf.us), np.asarray(sr.us),
+                                   rtol=2e-2, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(sf.cost), np.asarray(sr.cost),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_fused_backward_matches_sequential(self):
+        """Kernel-level check: backward_batched == vmap(backward)."""
+        from openmp_parallel_computing_tpu.models.mpc import riccati
+        from openmp_parallel_computing_tpu.models.mpc.riccati_pallas import (
+            backward_batched)
+        import jax.numpy as jnp
+        rng = np.random.default_rng(2)
+        B, H, n, c = 3, 6, 8, 6
+        fx = jnp.asarray(rng.normal(size=(B, H, n, n)) * 0.2
+                         + np.eye(n), jnp.float32)
+        fu = jnp.asarray(rng.normal(size=(B, H, n, c)) * 0.3, jnp.float32)
+        lx = jnp.asarray(rng.normal(size=(B, H, n)), jnp.float32)
+        lu = jnp.asarray(rng.normal(size=(B, H, c)), jnp.float32)
+        lxx = jnp.broadcast_to(2.0 * jnp.eye(n), (B, H, n, n))
+        luu = jnp.broadcast_to(0.5 * jnp.eye(c), (B, H, c, c))
+        lux = jnp.zeros((B, H, c, n), jnp.float32)
+        vx = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+        vxx = jnp.broadcast_to(2.0 * jnp.eye(n), (B, n, n))
+        K, k = backward_batched(fx, fu, lx, lu, lxx, luu, lux, vx, vxx)
+        gains = jax.vmap(lambda *a: riccati.backward(*a))(
+            fx, fu, lx, lu, lxx, luu, lux, vx, vxx)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(gains.K),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(k), np.asarray(gains.k),
+                                   rtol=2e-4, atol=2e-5)
+
     def test_deterministic(self, flat_edge_map, small_cfg):
         mpc = VisualServoMPC(small_cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(2), 3)
