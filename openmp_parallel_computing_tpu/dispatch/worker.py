@@ -25,6 +25,7 @@ from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
 from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
 from openmp_parallel_computing_tpu.serve.server import process_image
 from openmp_parallel_computing_tpu.utils.config import DispatchConfig
+from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
 
 
 class Worker:
@@ -74,7 +75,8 @@ class Worker:
             "passes": passes,
         }
         self.done.publish(completion)   # publish BEFORE the ack (queue
-        return completion               # consume() acks after we return)
+        metrics.inc("worker.jobs")      # consume() acks after we return)
+        return completion
 
     def run(self, stop_when_empty: bool = False) -> None:
         self.jobs.consume(self.process, stop_when_empty=stop_when_empty)

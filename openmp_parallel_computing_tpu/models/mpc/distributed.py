@@ -64,7 +64,18 @@ class DistributedMPC:
         return step
 
     def shard_scenarios(self, scen: Scenario) -> Scenario:
+        """Shard a scenario batch over the data axis.
+
+        Single-process: ``scen`` is the global batch (device_put spreads
+        it). Multi-host: ``scen`` is this process's LOCAL batch; the global
+        array is assembled from per-process shards (the DCN feed pattern —
+        each host contributes the scenarios it ingested, replacing the
+        reference's per-worker queue consumption)."""
         sharding = NamedSharding(self.mesh, P(parallel.DATA_AXIS))
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    sharding, a), scen)
         return jax.tree.map(lambda a: jax.device_put(a, sharding), scen)
 
     def solve(self, frame, scen: Scenario):
@@ -72,8 +83,9 @@ class DistributedMPC:
         batch divisible by the data-axis size. Returns (u0 batch, mean cost,
         max primal residual)."""
         n = self.mesh.shape[parallel.DATA_AXIS]
-        if scen.p0.shape[0] % n:
+        global_batch = scen.p0.shape[0] * jax.process_count()
+        if global_batch % n:
             raise ValueError(
-                f"scenario batch {scen.p0.shape[0]} not divisible by "
+                f"global scenario batch {global_batch} not divisible by "
                 f"data axis {n}")
         return self._step(frame, self.shard_scenarios(scen))

@@ -35,6 +35,7 @@ import numpy as np
 
 from openmp_parallel_computing_tpu import imgio, ops, parallel
 from openmp_parallel_computing_tpu.utils.config import ServeConfig
+from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
 
 _KERNELS = {
     "grayscale": lambda img, passes=1: ops.grayscale(img, passes=passes),
@@ -153,7 +154,14 @@ class Handler(BaseHTTPRequestHandler):
     server_version = "ompc-serve/0.1"
 
     def do_GET(self):
-        if self.path == "/healthz":
+        if self.path == "/metricz":
+            payload = json.dumps(metrics.snapshot()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        elif self.path == "/healthz":
             payload = json.dumps({
                 "status": "ok",
                 "backend": jax.default_backend(),
@@ -200,10 +208,14 @@ class Handler(BaseHTTPRequestHandler):
                 imgio.save_png(dst, out_hwc, compression=1)
                 png = dst.read_bytes()
         except Exception as exc:  # reference 500s with logged stderr
+            metrics.inc("serve.errors")
             self.log_error("processing failed: %r", exc)
             self.send_error(500, str(exc))
             return
         elapsed = time.perf_counter() - t_start
+        metrics.inc(f"serve.requests.{kernel}")
+        metrics.observe("serve.request_s", elapsed)
+        metrics.observe("serve.compute_s", compute_s)
         self.send_response(200)
         self.send_header("Content-Type", "image/png")
         self.send_header("Content-Length", str(len(png)))
@@ -233,6 +245,8 @@ class Handler(BaseHTTPRequestHandler):
             self.log_error("control failed: %r", exc)
             self.send_error(500, str(exc))
             return
+        metrics.inc("serve.requests.control")
+        metrics.observe("serve.control_s", result["compute_s"])
         payload = json.dumps(result).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
