@@ -26,6 +26,14 @@ import jax.numpy as jnp
 STATE_PER_FEATURE = 2
 CONTROL_DIM = 6
 
+# State-space trust region: normalized image coords live in [-1, 1]; beyond
+# a few units the quadratic terms of the interaction matrix make the Euler
+# dynamics exponentially unstable and the edge field is gradient-free, so a
+# diverging line-search candidate could run to inf within one horizon.
+# Clamping the state here bounds every rollout (all solver backends) without
+# affecting any physically meaningful trajectory.
+STATE_LIMIT = 4.0
+
 
 def interaction_matrix(p: jax.Array, depth: jax.Array) -> jax.Array:
     """(2m,) state, (m,) depths -> (2m, 6) image Jacobian."""
@@ -42,8 +50,10 @@ def interaction_matrix(p: jax.Array, depth: jax.Array) -> jax.Array:
 
 def step(p: jax.Array, u: jax.Array, depth: jax.Array,
          dt: float) -> jax.Array:
-    """One Euler step of the feature dynamics."""
-    return p + dt * interaction_matrix(p, depth) @ u
+    """One Euler step of the feature dynamics (state clamped to the
+    trust region, see STATE_LIMIT)."""
+    nxt = p + dt * interaction_matrix(p, depth) @ u
+    return jnp.clip(nxt, -STATE_LIMIT, STATE_LIMIT)
 
 
 def rollout(p0: jax.Array, us: jax.Array, depth: jax.Array,

@@ -248,6 +248,125 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
     )
 
 
+def _solve_batch_sweep(pyramid, shape, scen: Scenario,
+                       cfg: MPCConfig) -> Solution:
+    """Whole-sweep fused solve: two Pallas launches per iLQR sweep
+    (``sweep_pallas``), solver state kept in lanes layout across the whole
+    ADMM loop. Same math as the other backends (equivalence-tested)."""
+    from openmp_parallel_computing_tpu.models.mpc import sweep_pallas as sp
+
+    B, h = scen.us0.shape[0], cfg.horizon
+    m = cfg.num_features
+    n = 2 * m
+    cdim = dynamics.CONTROL_DIM
+    h_img, w_img = shape
+    q, r, rho, qe = cfg.q_track, cfg.r_ctrl, cfg.rho, cfg.q_edge
+    Bp = -(-B // sp.LANE) * sp.LANE
+
+    def lanes(a, ndim):
+        perm = tuple(range(1, ndim)) + (0,)
+        a = jnp.transpose(a, perm)
+        return jnp.pad(a, [(0, 0)] * (ndim - 1) + [(0, Bp - B)])
+
+    p0_l = lanes(scen.p0, 2)               # (n, Bp)
+    target_l = lanes(scen.target, 2)
+    izd_l = lanes(1.0 / scen.depth, 2)     # (m, Bp); padding lanes -> inf?
+    izd_l = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, izd_l.shape, 1) >= B,
+        1.0, izd_l)
+    us_l = lanes(scen.us0, 3)              # (h, c, Bp)
+
+    kw = dict(m=m, q=q, r=r, rho=rho, qe=qe, dt=cfg.dt)
+
+    def edge_grads(ps_l):
+        """Pyramid value+grad at the nominal trajectory -> lanes layout."""
+        if not qe:
+            return (jnp.zeros((h + 1, Bp), jnp.float32),
+                    jnp.zeros((h + 1, n, Bp), jnp.float32))
+        ps_b = jnp.transpose(ps_l, (2, 0, 1))[:B]   # (B, h+1, n)
+
+        def eo(p):
+            return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
+
+        e, g = jax.vmap(jax.vmap(jax.value_and_grad(eo)))(ps_b)
+        e_l = jnp.pad(jnp.transpose(e, (1, 0)), ((0, 0), (0, Bp - B)))
+        g_l = jnp.pad(jnp.transpose(g, (1, 2, 0)),
+                      ((0, 0), (0, 0), (0, Bp - B)))
+        return e_l, g_l
+
+    zeros_g = jnp.zeros((h + 1, n, Bp), jnp.float32)
+    zero_gains = (jnp.zeros((h, cdim, n, Bp), jnp.float32),
+                  jnp.zeros((h, cdim, Bp), jnp.float32))
+
+    def rollout_nominal(us_l, z_l, y_l):
+        """Initial nominal trajectory via the forward kernel with zero
+        gains (every candidate collapses to the nominal)."""
+        ps0 = jnp.zeros((h + 1, n, Bp), jnp.float32)
+        ps_c, _, _ = sp.forward_sweep(p0_l, ps0, us_l, *zero_gains, z_l,
+                                      y_l, zeros_g, target_l, izd_l, **kw)
+        return ps_c[:, 0]                           # (h+1, n, Bp)
+
+    def pick(J, cand, a_axis):
+        """Select the argmin-J candidate per lane via one-hot contraction."""
+        onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, J.shape, 0) == jnp.argmin(J, axis=0)[None]
+        ).astype(jnp.float32)                       # (A, Bp)
+        shape = [1] * cand.ndim
+        shape[a_axis] = cand.shape[a_axis]
+        shape[-1] = cand.shape[-1]
+        return jnp.sum(cand * onehot.reshape(shape), axis=a_axis)
+
+    def ilqr_once(carry):
+        us_l, ps_l, z_l, y_l = carry
+        _, g_l = edge_grads(ps_l)
+        K, kff = sp.backward_sweep(ps_l, us_l, z_l, y_l, g_l, target_l,
+                                   izd_l, **kw)
+        ps_c, us_c, J = sp.forward_sweep(p0_l, ps_l, us_l, K, kff, z_l,
+                                         y_l, g_l, target_l, izd_l, **kw)
+        us_new = pick(J, us_c, 1)                   # (h, c, Bp)
+        ps_new = pick(J, ps_c, 1)                   # (h+1, n, Bp)
+        return us_new, ps_new
+
+    def admm_body(carry, _):
+        us_l, ps_l, z_l, y_l = carry
+
+        def inner(_, c2):
+            us2, ps2 = ilqr_once((c2[0], c2[1], z_l, y_l))
+            return (us2, ps2)
+
+        us_l, ps_l = jax.lax.fori_loop(0, cfg.ilqr_iters, inner,
+                                       (us_l, ps_l))
+        z_l = jnp.clip(us_l + y_l, -cfg.u_limit, cfg.u_limit)
+        y_l = y_l + us_l - z_l
+        return (us_l, ps_l, z_l, y_l), None
+
+    z0 = jnp.clip(us_l, -cfg.u_limit, cfg.u_limit)
+    y0 = jnp.zeros_like(us_l)
+    ps_l = rollout_nominal(us_l, z0, y0)
+    (us_l, ps_l, z_l, y_l), _ = jax.lax.scan(
+        admm_body, (us_l, ps_l, z0, y0), None, length=cfg.admm_iters)
+
+    # Final feasible controls + their true trajectory/cost.
+    ps_final_l = rollout_nominal(z_l, z_l, y_l)
+    us = jnp.transpose(z_l, (2, 0, 1))[:B]
+    ps = jnp.transpose(ps_final_l, (2, 0, 1))[:B]
+    track = q * jnp.sum((ps - scen.target[:, None]) ** 2, axis=(1, 2))
+    ctrl = r * jnp.sum(us ** 2, axis=(1, 2))
+    if qe:
+        def eo(p):
+            return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
+        edge_total = qe * jnp.sum(jax.vmap(jax.vmap(eo))(ps), axis=1)
+    else:
+        edge_total = jnp.zeros(B, jnp.float32)
+    return Solution(
+        us=us,
+        ps=ps,
+        cost=track + ctrl + edge_total,
+        primal_residual=jnp.max(
+            jnp.abs(jnp.transpose(us_l - z_l, (2, 0, 1))[:B]), axis=(1, 2)),
+    )
+
+
 class VisualServoMPC:
     """Batched visual-servo MPC over Sobel edge-feature maps.
 
@@ -281,6 +400,8 @@ class VisualServoMPC:
         batch. The cost pyramid is built once and shared by the batch."""
         pyramid = costs.build_cost_pyramid(edge_map)
         shape = edge_map.shape
+        if self.cfg.backend == "sweep":
+            return _solve_batch_sweep(pyramid, shape, scen, self.cfg)
         if self.cfg.backend == "fused":
             return _solve_batch_fused(pyramid, shape, scen, self.cfg)
         return jax.vmap(

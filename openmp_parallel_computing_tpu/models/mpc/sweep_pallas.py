@@ -1,0 +1,374 @@
+"""Whole-sweep fused kernels: linearize + expand + Riccati backward in one
+Pallas launch, and the line-searched forward rollout in another.
+
+Extends the batch-in-lanes design of ``riccati_pallas`` (docs/DESIGN.md §2)
+to the entire iLQR sweep. Per sweep the solver now costs two kernel
+launches plus the XLA edge-pyramid sampling — the closed-form IBVS
+linearization, the analytic quadratic expansion, the Cholesky gains, the
+dynamics rollout, and the line-search cost accumulation all happen inside
+the kernels on lane vectors, with nothing but the per-step coefficient
+streams touching HBM.
+
+Layout: scenario batch B in the last (lane) dimension everywhere —
+ps (H+1, n, B), us/z/y (H, c, B), gains K (H, c, n, B). The solver keeps
+this layout across the whole ADMM loop and transposes only at the
+boundaries (scenario ingest, edge sampling, results).
+
+Line search: candidates alpha = (0, 1, 0.5, 0.25). alpha=0 reproduces the
+nominal trajectory exactly (u = u_nom + K(p - p_nom) stays u_nom when p
+tracks p_nom), so the "did anything improve" comparison is just the argmin
+over candidates — no separate nominal cost evaluation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openmp_parallel_computing_tpu.models.mpc.riccati_pallas import (
+    _mm,
+    _mv,
+    _spd_solve_lanes,
+)
+from openmp_parallel_computing_tpu.ops._tiling import interpret_mode
+
+LANE = 128
+ALPHAS = (0.0, 1.0, 0.5, 0.25)
+CONTROL_DIM = 6
+
+
+def _features(p, m: int):
+    """Split a (n, B) state block into x (m, B), y (m, B).
+
+    Explicit row rebuild instead of strided slicing — Mosaic lowers
+    ``p[0::2]`` to an unsupported gather."""
+    x = jnp.concatenate([p[2 * i:2 * i + 1, :] for i in range(m)], axis=0)
+    y = jnp.concatenate([p[2 * i + 1:2 * i + 2, :] for i in range(m)],
+                        axis=0)
+    return x, y
+
+
+def _build_fx_fu(p, u, inv_depth, dt: float, m: int):
+    """Closed-form IBVS linearization on lane vectors.
+
+    p (n, B), u (c, B), inv_depth (m, B) -> fx (n, n, B), fu (n, c, B).
+    Mirrors ``dynamics.linearize_analytic`` exactly.
+    """
+    n = 2 * m
+    x, y = _features(p, m)                      # (m, B)
+    vz, wx, wy, wz = u[2:3], u[3:4], u[4:5], u[5:6]  # (1, B)
+    iz = inv_depth                              # (m, B)
+
+    a = dt * (vz * iz + y * wx - 2.0 * x * wy)  # dxdot/dx * dt
+    b = dt * (x * wx + wz)
+    c2 = dt * (-y * wy - wz)
+    d = dt * (vz * iz + 2.0 * y * wx - x * wy)
+
+    B = p.shape[-1]
+    zero1 = lambda k: jnp.zeros((1, k, B), jnp.float32)
+    fx_rows = []
+    for i in range(m):
+        left, right = 2 * i, n - 2 * i - 2
+        row_x = [jnp.concatenate(
+            ([zero1(left)] if left else [])
+            + [1.0 + a[i:i + 1, :][:, None, :], b[i:i + 1, :][:, None, :]]
+            + ([zero1(right)] if right else []), axis=1)]
+        row_y = [jnp.concatenate(
+            ([zero1(left)] if left else [])
+            + [c2[i:i + 1, :][:, None, :], 1.0 + d[i:i + 1, :][:, None, :]]
+            + ([zero1(right)] if right else []), axis=1)]
+        fx_rows += row_x + row_y
+    fx = jnp.concatenate(fx_rows, axis=0)       # (n, n, B)
+
+    one = jnp.ones((1, B), jnp.float32)
+    zv = jnp.zeros((1, B), jnp.float32)
+    fu_rows = []
+    for i in range(m):
+        xi, yi, izi = x[i:i + 1], y[i:i + 1], iz[i:i + 1]
+        row_x = jnp.concatenate([
+            (-izi)[:, None, :], zv[:, None, :], (xi * izi)[:, None, :],
+            (xi * yi)[:, None, :], (-(one + xi * xi))[:, None, :],
+            yi[:, None, :]], axis=1)
+        row_y = jnp.concatenate([
+            zv[:, None, :], (-izi)[:, None, :], (yi * izi)[:, None, :],
+            (one + yi * yi)[:, None, :], (-(xi * yi))[:, None, :],
+            (-xi)[:, None, :]], axis=1)
+        fu_rows += [row_x, row_y]
+    fu = dt * jnp.concatenate(fu_rows, axis=0)  # (n, c, B)
+    return fx, fu
+
+
+def _dyn_step(p, u, inv_depth, dt: float, m: int):
+    """p' = p + dt * L(p) u on lane vectors. p (n,B), u (c,B)."""
+    x, y = _features(p, m)
+    vx, vy, vz = u[0:1], u[1:2], u[2:3]
+    wx, wy, wz = u[3:4], u[4:5], u[5:6]
+    iz = inv_depth
+    xdot = (-vx * iz + x * vz * iz + x * y * wx - (1.0 + x * x) * wy
+            + y * wz)
+    ydot = (-vy * iz + y * vz * iz + (1.0 + y * y) * wx - x * y * wy
+            - x * wz)
+    # State trust region (dynamics.STATE_LIMIT) keeps diverging candidates
+    # finite — must match dynamics.step exactly.
+    lim = 4.0
+    nxt_x = jnp.clip(x + dt * xdot, -lim, lim)
+    nxt_y = jnp.clip(y + dt * ydot, -lim, lim)
+    # interleave back to (n, B)
+    rows = []
+    for i in range(m):
+        rows.append(nxt_x[i:i + 1])
+        rows.append(nxt_y[i:i + 1])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _tp(a, n: int):
+    """(p, q, B) -> (q, p, B) small transpose by row rebuild."""
+    return jnp.concatenate([a[:, i, :][None] for i in range(n)], axis=0)
+
+
+def _backward_sweep_kernel(ps_ref, us_ref, z_ref, y_ref, g_ref, pterm_ref,
+                           gterm_ref, target_ref, izd_ref, K_ref, k_ref,
+                           Vx_scr, Vxx_scr, *, m: int, q: float, r: float,
+                           rho: float, qe: float, dt: float, reg: float):
+    n, c = 2 * m, CONTROL_DIM
+    t = pl.program_id(1)
+    target = target_ref[...]
+
+    @pl.when(t == 0)
+    def _():  # terminal expansion
+        Vx_scr[...] = 2.0 * q * (pterm_ref[0] - target) \
+            + qe * gterm_ref[0]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+               ).astype(jnp.float32)
+        Vxx_scr[...] = jnp.broadcast_to(2.0 * q * eye, Vxx_scr.shape)
+
+    p_t = ps_ref[0]
+    u_t = us_ref[0]
+    fx, fu = _build_fx_fu(p_t, u_t, izd_ref[...], dt, m)
+
+    lx = 2.0 * q * (p_t - target) + qe * g_ref[0]
+    lu = 2.0 * r * u_t + rho * (u_t - z_ref[0] + y_ref[0])
+
+    Vx = Vx_scr[...]
+    Vxx = Vxx_scr[...]
+    fxT = _tp(fx, n)
+    fuT = _tp(fu, c)
+    Vxx_fx = _mm(Vxx, fx, n)
+    Vxx_fu = _mm(Vxx, fu, n)
+
+    eye_n = (jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+             ).astype(jnp.float32)
+    eye_c = (jax.lax.broadcasted_iota(jnp.int32, (c, c, 1), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (c, c, 1), 1)
+             ).astype(jnp.float32)
+
+    Qx = lx + _mv(fxT, Vx, n)
+    Qu = lu + _mv(fuT, Vx, n)
+    Qxx = 2.0 * q * eye_n + _mm(fxT, Vxx_fx, n)
+    Quu = (2.0 * r + rho + reg) * eye_c + _mm(fuT, Vxx_fu, n)
+    Qux = _mm(fuT, Vxx_fx, n)
+
+    rhs = jnp.concatenate([Qu[:, None, :], Qux], axis=1)
+    sol = -_spd_solve_lanes(Quu, rhs, c)
+    kff = sol[:, 0, :]
+    K = sol[:, 1:, :]
+
+    KT = _tp(K, n)
+    QuxT = _tp(Qux, n)
+    Quu_kff = _mv(Quu, kff, c)
+    Vx_new = Qx + _mv(KT, Quu_kff, c) + _mv(KT, Qu, c) + _mv(QuxT, kff, c)
+    Quu_K = _mm(Quu, K, c)
+    Vxx_new = Qxx + _mm(KT, Quu_K, c) + _mm(KT, Qux, c) + _mm(QuxT, K, c)
+    Vxx_new = 0.5 * (Vxx_new + _tp(Vxx_new, n))
+
+    Vx_scr[...] = Vx_new
+    Vxx_scr[...] = Vxx_new
+    K_ref[0] = K
+    k_ref[0] = kff
+
+
+def _forward_sweep_kernel(p0_ref, ps_ref, us_ref, K_ref, k_ref, z_ref,
+                          y_ref, g_ref, pterm_ref, gterm_ref, target_ref,
+                          izd_ref, psout_ref, usout_ref, J_ref,
+                          p_scr, J_scr, *, m: int, q: float, r: float,
+                          rho: float, qe: float, dt: float, horizon: int):
+    n, c = 2 * m, CONTROL_DIM
+    A = len(ALPHAS)
+    t = pl.program_id(1)
+    target = target_ref[...]
+    izd = izd_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        p_scr[...] = jnp.broadcast_to(p0_ref[...][None], (A, n,
+                                                          p0_ref.shape[-1]))
+        J_scr[...] = jnp.zeros_like(J_scr)
+
+    p_nom = ps_ref[0]
+    u_nom = us_ref[0]
+    K = K_ref[0]
+    kff = k_ref[0]
+    z_t = z_ref[0]
+    y_t = y_ref[0]
+    g_t = g_ref[0]
+
+    for a_idx, alpha in enumerate(ALPHAS):
+        p_a = p_scr[a_idx]
+        u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
+        # stage cost at (p_a, u_a): quad + ADMM + linearized edge term
+        J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
+                 + r * jnp.sum(u_a ** 2, axis=0)
+                 + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
+                 + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
+        nxt = _dyn_step(p_a, u_a, izd, dt, m)
+        J_scr[a_idx] = J_scr[a_idx] + J_add
+        p_scr[a_idx] = nxt
+        usout_ref[0, a_idx] = u_a
+        psout_ref[0, a_idx] = nxt
+
+    # The J output block is revisited every step; keep it defined by
+    # writing the running totals, finalized with the terminal terms at the
+    # last step.
+    pterm = pterm_ref[0]
+    gterm = gterm_ref[0]
+    for a_idx in range(A):
+        p_h = p_scr[a_idx]
+        J_term = (q * jnp.sum((p_h - target) ** 2, axis=0)
+                  + qe * jnp.sum(gterm * (p_h - pterm), axis=0))
+        J_ref[a_idx] = jnp.where(t == horizon - 1,
+                                 J_scr[a_idx] + J_term, J_scr[a_idx])
+
+
+def _lanes_specs(m: int, H: int):
+    n, c = 2 * m, CONTROL_DIM
+    t_rev4 = lambda b, t: (H - 1 - t, 0, 0, b)
+    t_rev3 = lambda b, t: (H - 1 - t, 0, b)
+    t_fwd4 = lambda b, t: (t, 0, 0, b)
+    t_fwd3 = lambda b, t: (t, 0, b)
+    const2 = lambda b, t: (0, b)
+    return n, c, t_rev4, t_rev3, t_fwd4, t_fwd3, const2
+
+
+@functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",
+                                             "dt", "reg"))
+def backward_sweep(ps, us, z, y, g, target, inv_depth, *, m: int, q: float,
+                   r: float, rho: float, qe: float, dt: float,
+                   reg: float = 1e-6):
+    """Lanes-layout fused backward sweep.
+
+    ps (H+1, n, B), us/z/y (H, c, B), g (H+1, n, B), target (n, B),
+    inv_depth (m, B); B a multiple of 128. Returns K (H, c, n, B),
+    k (H, c, B).
+    """
+    H = us.shape[0]
+    Bp = ps.shape[-1]
+    n, c, t_rev4, t_rev3, _, _, const2 = _lanes_specs(m, H)
+    nb = Bp // LANE
+
+    sp3 = lambda s, fn: pl.BlockSpec((1, s, LANE), fn,
+                                     memory_space=pltpu.VMEM)
+    spc2 = lambda s: pl.BlockSpec((s, LANE), const2,
+                                  memory_space=pltpu.VMEM)
+    term3 = lambda b, t: (H, 0, b)
+
+    return pl.pallas_call(
+        functools.partial(_backward_sweep_kernel, m=m, q=q, r=r, rho=rho,
+                          qe=qe, dt=dt, reg=reg),
+        grid=(nb, H),
+        in_specs=[
+            sp3(n, t_rev3),          # ps (step t)
+            sp3(c, t_rev3),          # us
+            sp3(c, t_rev3),          # z
+            sp3(c, t_rev3),          # y
+            sp3(n, t_rev3),          # g
+            sp3(n, term3),           # ps terminal  (block row H)
+            sp3(n, term3),           # g terminal
+            spc2(n),                 # target
+            spc2(m),                 # inv_depth
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, n, LANE), t_rev4, memory_space=pltpu.VMEM),
+            sp3(c, t_rev3),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, c, n, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((H, c, Bp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, LANE), jnp.float32),
+            pltpu.VMEM((n, n, LANE), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(ps, us, z, y, g, ps, g, target, inv_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",
+                                             "dt"))
+def forward_sweep(p0, ps, us, K, k, z, y, g, target, inv_depth, *, m: int,
+                  q: float, r: float, rho: float, qe: float, dt: float):
+    """Lanes-layout line-searched forward rollout.
+
+    Returns (ps_c (H+1, A, n, B), us_c (H, A, c, B), J (A, B)) where
+    candidate 0 (alpha=0) is exactly the nominal trajectory/cost.
+    """
+    H = us.shape[0]
+    Bp = ps.shape[-1]
+    n, c, _, _, t_fwd4, t_fwd3, const2 = _lanes_specs(m, H)
+    A = len(ALPHAS)
+    nb = Bp // LANE
+
+    sp3 = lambda s, fn: pl.BlockSpec((1, s, LANE), fn,
+                                     memory_space=pltpu.VMEM)
+    spc2 = lambda s: pl.BlockSpec((s, LANE), const2,
+                                  memory_space=pltpu.VMEM)
+    term3 = lambda b, t: (H, 0, b)
+    out4 = lambda b, t: (t, 0, 0, b)
+    outps = lambda b, t: (t + 1, 0, 0, b)
+    outJ = lambda b, t: (0, b)
+
+    ps_c, us_c, J = pl.pallas_call(
+        functools.partial(_forward_sweep_kernel, m=m, q=q, r=r, rho=rho,
+                          qe=qe, dt=dt, horizon=H),
+        grid=(nb, H),
+        in_specs=[
+            spc2(n),                 # p0
+            sp3(n, t_fwd3),          # ps nominal (step t)
+            sp3(c, t_fwd3),          # us nominal
+            pl.BlockSpec((1, c, n, LANE), t_fwd4,
+                         memory_space=pltpu.VMEM),   # K
+            sp3(c, t_fwd3),          # k
+            sp3(c, t_fwd3),          # z
+            sp3(c, t_fwd3),          # y
+            sp3(n, t_fwd3),          # g
+            sp3(n, term3),           # ps terminal (nominal)
+            sp3(n, term3),           # g terminal
+            spc2(n),                 # target
+            spc2(m),                 # inv_depth
+        ],
+        out_specs=(
+            pl.BlockSpec((1, A, n, LANE), outps, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, c, LANE), out4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, LANE), outJ, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H + 1, A, n, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((H, A, c, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((A, Bp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((A, n, LANE), jnp.float32),
+            pltpu.VMEM((A, LANE), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(p0, ps, us, K, k, z, y, g, ps, g, target, inv_depth)
+    # Row 0 of ps_c is never written by the kernel (outputs start at t+1);
+    # every candidate starts at p0.
+    ps0 = jnp.broadcast_to(p0[None, None], (1, A, n, Bp))
+    ps_c = jnp.concatenate([ps0, ps_c[1:]], axis=0)
+    return ps_c, us_c, J

@@ -39,11 +39,11 @@ class MPCConfig:
     q_track: float = 1.0              # feature tracking weight
     r_ctrl: float = 1e-2              # control effort weight
     q_edge: float = 0.1               # edge-map attraction weight
-    # Solver backend: "fused" runs the Riccati backward sweep as one
-    # Pallas kernel over the scenario batch (fast path); "reference" is
-    # the per-scenario vmapped XLA implementation (used for equivalence
-    # testing and as a fallback).
-    backend: str = "fused"
+    # Solver backend (all numerically equivalent, equivalence-tested):
+    #   "sweep"     - whole-sweep fused Pallas kernels (fastest; default)
+    #   "fused"     - fused Pallas Riccati backward, XLA elsewhere
+    #   "reference" - per-scenario vmapped XLA implementation
+    backend: str = "sweep"
     # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
     # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost
     # terms (the edge field is piecewise-linear), so large rho slows
