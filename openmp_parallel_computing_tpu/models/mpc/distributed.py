@@ -1,22 +1,26 @@
 """Pod-scale scenario dispatch: the MPC solve sharded over a device mesh.
 
 BASELINE config 5 ("pod-scale MPC: 4096 scenarios sharded across hosts, ADMM
-QP with ICI collectives, H=50"): scenarios shard over the mesh's data axis
-(each device solves its local batch — the TPU-native replacement of the
-reference's competing queue consumers), perception can shard spatially over
-the model axis, and the only cross-device traffic is the diagnostics
-reduction (psum/pmax) — by construction the solve itself needs no
-communication, which is what makes >=85% multi-host scaling efficiency
-attainable: efficiency loss is bounded by the collective latency on scalars.
+QP with ICI collectives, H=50"). Realized with ``shard_map`` so each device
+runs the fused whole-sweep Pallas solver (``sweep_pallas``) on its local
+scenario shard:
+
+- **scenarios** shard over BOTH mesh axes jointly (every device owns an
+  equal slice — the TPU-native replacement of the reference's competing
+  queue consumers, ``event-driven/grayscale_service/app.py:92-94``);
+- **perception** optionally shards the frame's rows over the model axis:
+  ppermute halo exchange for the stencil, then an ICI ``all_gather``
+  reassembles the edge map every device needs for its cost pyramid;
+- the ADMM/iLQR solve itself needs NO communication; the only mesh-wide
+  traffic after perception is the psum/pmax of the diagnostics — which is
+  what makes >=85% multi-host scaling efficiency attainable.
 
 Multi-host: call ``parallel.initialize_multihost()`` first (one process per
-host); build the mesh over ``jax.devices()`` and feed each host its local
-shard via ``jax.make_array_from_process_local_data``.
+host); each host passes its process-local scenario slice and
+``shard_scenarios`` assembles the global array over DCN.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +30,13 @@ from openmp_parallel_computing_tpu import parallel
 from openmp_parallel_computing_tpu.models.mpc import costs
 from openmp_parallel_computing_tpu.models.mpc import solver as _solver
 from openmp_parallel_computing_tpu.models.mpc.solver import Scenario
+from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
+from openmp_parallel_computing_tpu.parallel import collectives
+from openmp_parallel_computing_tpu.parallel.spatial import _border_mask_rows
 from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+DATA = parallel.DATA_AXIS
+MODEL = parallel.MODEL_AXIS
 
 
 class DistributedMPC:
@@ -40,38 +50,60 @@ class DistributedMPC:
     def _build(self):
         cfg = self.cfg
         mesh = self.mesh
-        data_axis = parallel.DATA_AXIS
-        use_spatial = mesh.shape[parallel.MODEL_AXIS] > 1
+        n_model = mesh.shape[MODEL]
 
-        @jax.jit
-        def step(frame, scen: Scenario):
-            if use_spatial:
-                edge_img = parallel.sharded_edge_pipeline(frame, mesh)
+        solve_local = {
+            "sweep": _solver._solve_batch_sweep,
+            "fused": _solver._solve_batch_fused,
+        }.get(cfg.backend)
+
+        def local(frame_local, scen_local: Scenario):
+            # Perception. With model-axis sharding each device holds a row
+            # shard; halos ride ICI and the edge rows are all-gathered so
+            # every device can build the full cost pyramid.
+            if n_model > 1:
+                c, h_loc, w = frame_local.shape
+                h = h_loc * n_model
+                top, bottom = collectives.halo_exchange_rows(frame_local,
+                                                             MODEL)
+                ext = jnp.concatenate([top, frame_local, bottom], axis=1)
+                rows = edge_pipeline(ext, border="none")[0, 1:-1]
+                rows = _border_mask_rows(rows, h, w, MODEL, h_loc)
+                edge = jax.lax.all_gather(rows, MODEL, axis=0, tiled=True)
             else:
-                from openmp_parallel_computing_tpu.ops.pipeline import (
-                    edge_pipeline)
-                edge_img = edge_pipeline(frame)
-            edge = edge_img[0].astype(jnp.float32)
-            pyramid = costs.build_cost_pyramid(edge)
-            sol = jax.vmap(
-                lambda s: _solver._solve_single(pyramid, edge.shape, s,
-                                                cfg))(scen)
-            # Mesh-wide diagnostics; XLA inserts the collectives (the ADMM
-            # QP's only cross-device reduction).
-            return (sol.us[:, 0], jnp.mean(sol.cost),
-                    jnp.max(sol.primal_residual))
+                edge = edge_pipeline(frame_local)[0]
+            edge = edge.astype(jnp.float32)
 
-        return step
+            pyramid = costs.build_cost_pyramid(edge)
+            if solve_local is not None:
+                sol = solve_local(pyramid, edge.shape, scen_local, cfg)
+            else:
+                sol = jax.vmap(lambda s: _solver._solve_single(
+                    pyramid, edge.shape, s, cfg))(scen_local)
+
+            # Mesh-wide diagnostics — the ADMM QP's only global reduction.
+            mean_cost = jax.lax.pmean(jnp.mean(sol.cost), (DATA, MODEL))
+            max_res = jax.lax.pmax(jnp.max(sol.primal_residual),
+                                   (DATA, MODEL))
+            return sol.us[:, 0], mean_cost, max_res
+
+        frame_spec = P(None, MODEL, None) if n_model > 1 else P()
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(frame_spec,
+                      jax.tree.map(lambda _: P((DATA, MODEL)), Scenario(
+                          p0=0, target=0, depth=0, us0=0))),
+            out_specs=(P((DATA, MODEL)), P(), P()),
+            check_vma=False)
+        return jax.jit(f)
 
     def shard_scenarios(self, scen: Scenario) -> Scenario:
-        """Shard a scenario batch over the data axis.
+        """Shard a scenario batch over all mesh devices.
 
-        Single-process: ``scen`` is the global batch (device_put spreads
-        it). Multi-host: ``scen`` is this process's LOCAL batch; the global
-        array is assembled from per-process shards (the DCN feed pattern —
-        each host contributes the scenarios it ingested, replacing the
-        reference's per-worker queue consumption)."""
-        sharding = NamedSharding(self.mesh, P(parallel.DATA_AXIS))
+        Single-process: ``scen`` is the global batch. Multi-host: ``scen``
+        is this process's LOCAL slice; the global array is assembled from
+        per-process shards over DCN."""
+        sharding = NamedSharding(self.mesh, P((DATA, MODEL)))
         if jax.process_count() > 1:
             return jax.tree.map(
                 lambda a: jax.make_array_from_process_local_data(
@@ -79,13 +111,21 @@ class DistributedMPC:
         return jax.tree.map(lambda a: jax.device_put(a, sharding), scen)
 
     def solve(self, frame, scen: Scenario):
-        """frame (C, H, W) u8 (replicated or spatially sharded), scenario
-        batch divisible by the data-axis size. Returns (u0 batch, mean cost,
-        max primal residual)."""
-        n = self.mesh.shape[parallel.DATA_AXIS]
+        """frame (C, H, W) u8, scenario batch divisible by the device
+        count. Returns (u0 batch, mean cost, max primal residual)."""
+        n_dev = self.mesh.shape[DATA] * self.mesh.shape[MODEL]
         global_batch = scen.p0.shape[0] * jax.process_count()
-        if global_batch % n:
+        if global_batch % n_dev:
             raise ValueError(
                 f"global scenario batch {global_batch} not divisible by "
-                f"data axis {n}")
+                f"device count {n_dev}")
+        if self.mesh.shape[MODEL] > 1 and frame.shape[1] % \
+                self.mesh.shape[MODEL]:
+            raise ValueError("frame height not divisible by model axis")
+        frame = jnp.asarray(frame)
+        if jax.process_count() == 1:
+            n_model = self.mesh.shape[MODEL]
+            frame_spec = (P(None, MODEL, None) if n_model > 1 else P())
+            frame = jax.device_put(
+                frame, NamedSharding(self.mesh, frame_spec))
         return self._step(frame, self.shard_scenarios(scen))
