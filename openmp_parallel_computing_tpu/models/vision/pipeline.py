@@ -11,11 +11,8 @@ front-end for multi-frame MPC scenario evaluation.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from openmp_parallel_computing_tpu import ops, parallel

@@ -10,7 +10,6 @@ becomes a ``ppermute`` neighbor shift (the ICI halo exchange).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def psum(x, axis_name: str):

@@ -15,11 +15,9 @@ slice; for throughput over many frames prefer batch data-parallelism
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline as _edge_pipeline
 from openmp_parallel_computing_tpu.ops.sobel import sobel as _sobel_op

@@ -22,7 +22,6 @@ from __future__ import annotations
 import email.parser
 import email.policy
 import functools
-import io
 import json
 import tempfile
 import time
