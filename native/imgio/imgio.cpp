@@ -166,6 +166,46 @@ bool encode_png(const char *path, const unsigned char *data, int w, int h,
   return true;
 }
 
+bool encode_jpeg(const char *path, const unsigned char *data, int w, int h,
+                 int channels, int quality) {
+  if (channels != 1 && channels != 3) {
+    set_error("jpeg: encode supports 1 or 3 channels");
+    return false;
+  }
+  FILE *fp = std::fopen(path, "wb");
+  if (!fp) {
+    set_error(std::string("jpeg: cannot open ") + path);
+    return false;
+  }
+  jpeg_compress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, fp);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = channels;
+  cinfo.in_color_space = channels == 3 ? JCS_RGB : JCS_GRAYSCALE;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  size_t stride = static_cast<size_t>(w) * channels;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<JSAMPROW>(data + stride * cinfo.next_scanline);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  std::fclose(fp);
+  return true;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -209,6 +249,12 @@ int imgio_save_png(const char *path, const unsigned char *data, int w, int h,
   return encode_png(path, data, w, h, channels, stride_bytes, compression)
              ? 1
              : 0;
+}
+
+// Encode interleaved u8 HWC (1 or 3 channels) as JPEG at the given quality.
+int imgio_save_jpeg(const char *path, const unsigned char *data, int w, int h,
+                    int channels, int quality) {
+  return encode_jpeg(path, data, w, h, channels, quality) ? 1 : 0;
 }
 
 }  // extern "C"

@@ -51,6 +51,9 @@ def _load_lib():
     lib.imgio_save_png.restype = ctypes.c_int
     lib.imgio_save_png.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte)] + [ctypes.c_int] * 5
+    lib.imgio_save_jpeg.restype = ctypes.c_int
+    lib.imgio_save_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte)] + [ctypes.c_int] * 4
     lib.imgio_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
     lib.imgio_last_error.restype = ctypes.c_char_p
     _lib = lib
@@ -97,6 +100,27 @@ def save_png(path: str | os.PathLike, img: np.ndarray,
     ok = lib.imgio_save_png(
         str(path).encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         w, h, c, w * c, compression)
+    if not ok:
+        raise IOError(f"imgio: {lib.imgio_last_error().decode()} ({path})")
+
+
+def save_jpeg(path: str | os.PathLike, img: np.ndarray,
+              quality: int = 90) -> None:
+    """Encode an interleaved (H, W, C) or (H, W) u8 array as JPEG."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    lib = _load_lib()
+    if lib is None:
+        from PIL import Image
+
+        Image.fromarray(img.squeeze(-1) if c == 1 else img).save(
+            path, quality=quality)
+        return
+    ok = lib.imgio_save_jpeg(
+        str(path).encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        w, h, c, quality)
     if not ok:
         raise IOError(f"imgio: {lib.imgio_last_error().decode()} ({path})")
 

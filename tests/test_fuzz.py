@@ -1,0 +1,105 @@
+"""Property/fuzz tests: random shapes and contents through every kernel,
+always checked against the pure-jnp twins (which are themselves checked
+against straight-line numpy and the reference binaries elsewhere)."""
+
+import numpy as np
+import pytest
+
+from openmp_parallel_computing_tpu import ops
+from openmp_parallel_computing_tpu.ops import xla_ref
+
+SHAPES = [(1, 128), (7, 129), (33, 257), (64, 128), (95, 131), (130, 384)]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_grayscale_random_shapes(seed):
+    rng = np.random.default_rng(seed)
+    h, w = SHAPES[seed % len(SHAPES)]
+    c = 3 if seed % 2 == 0 else 4
+    img = rng.integers(0, 256, (c, h, w), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(ops.grayscale(img)), np.asarray(xla_ref.grayscale(img)))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sobel_random_shapes(seed):
+    rng = np.random.default_rng(100 + seed)
+    h, w = SHAPES[(seed + 1) % len(SHAPES)]
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(ops.sobel(gray)), np.asarray(xla_ref.sobel(gray)))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_edge_pipeline_random_shapes(seed):
+    rng = np.random.default_rng(200 + seed)
+    h, w = SHAPES[(seed + 2) % len(SHAPES)]
+    img = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(ops.edge_pipeline(img)),
+        np.asarray(xla_ref.edge_pipeline(img)))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_conv_random_taps(seed):
+    rng = np.random.default_rng(300 + seed)
+    h, w = SHAPES[seed % len(SHAPES)]
+    img = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+    taps = tuple(tuple(int(v) for v in row)
+                 for row in rng.integers(-4, 5, (3, 3)))
+    norm = int(rng.integers(1, 20))
+    got = np.asarray(ops.conv3x3(img, taps=taps, norm=norm))
+    want = np.asarray(xla_ref.conv3x3(img, kernel=taps, norm=norm))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extreme_values():
+    """All-0 and all-255 images through every op."""
+    for val in (0, 255):
+        img = np.full((3, 40, 136), val, np.uint8)
+        g = np.asarray(ops.grayscale(img))
+        assert (g[0] == val).all()
+        e = np.asarray(ops.edge_pipeline(img))
+        assert e[:3].max() == 0  # constant image has no edges
+        b = np.asarray(ops.gaussian_blur(img))
+        # zero-padded convolution darkens the 1-px border (reference
+        # semantics); the interior is exact
+        assert (b[:, 1:-1, 1:-1] == val).all()
+        mean = np.asarray(ops.channel_mean(img))
+        np.testing.assert_allclose(mean, [val] * 3, atol=1e-3)
+
+
+def test_single_pixel_rows():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (3, 1, 200), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(ops.grayscale(img)), np.asarray(xla_ref.grayscale(img)))
+    assert np.asarray(ops.edge_pipeline(img))[:3].max() == 0  # all border
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_solver_random_configs(seed):
+    """Random solver configs stay finite and feasible."""
+    import jax
+    import jax.numpy as jnp
+
+    from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    rng = np.random.default_rng(400 + seed)
+    cfg = MPCConfig(
+        horizon=int(rng.integers(3, 15)),
+        num_features=int(rng.integers(1, 6)),
+        ilqr_iters=int(rng.integers(1, 4)),
+        admm_iters=int(rng.integers(1, 4)),
+        q_track=float(rng.uniform(0.1, 2.0)),
+        r_ctrl=float(10.0 ** rng.uniform(-3, -1)),
+        q_edge=float(rng.uniform(0.0, 1.0)),
+        u_limit=float(rng.uniform(0.5, 3.0)),
+    )
+    mpc = VisualServoMPC(cfg)
+    edge = jnp.asarray(rng.uniform(0, 255, (48, 128)), jnp.float32)
+    scen = mpc.random_scenarios(jax.random.PRNGKey(seed), 3)
+    sol = mpc.solve_batch(edge, scen)
+    assert np.isfinite(np.asarray(sol.cost)).all()
+    assert float(jnp.abs(sol.us).max()) <= cfg.u_limit + 1e-5

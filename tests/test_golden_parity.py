@@ -65,3 +65,17 @@ def test_imgio_roundtrip(tmp_path, frame):
     p = tmp_path / "rt.png"
     imgio.save_png(p, hwc)
     np.testing.assert_array_equal(imgio.load(p), hwc)
+
+
+def test_imgio_jpeg_encode(tmp_path, frame):
+    hwc = np.transpose(frame, (1, 2, 0))
+    p = tmp_path / "rt.jpg"
+    imgio.save_jpeg(p, hwc, quality=95)
+    back = imgio.load(p)
+    assert back.shape == hwc.shape
+    # lossy but close at q95
+    assert np.abs(back.astype(int) - hwc.astype(int)).mean() < 3.0
+    # grayscale path
+    g = tmp_path / "g.jpg"
+    imgio.save_jpeg(g, hwc[:, :, 0])
+    assert imgio.load(g).shape == (hwc.shape[0], hwc.shape[1], 1)
