@@ -11,6 +11,9 @@ from openmp_parallel_computing_tpu.models.mpc.distributed import (  # noqa: F401
 from openmp_parallel_computing_tpu.models.mpc.runtime import (  # noqa: F401
     MPCRuntime,
 )
+from openmp_parallel_computing_tpu.models.mpc.sysid import (  # noqa: F401
+    DepthEstimator,
+)
 from openmp_parallel_computing_tpu.models.mpc.solver import (  # noqa: F401
     Scenario,
     Solution,
