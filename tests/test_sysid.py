@@ -51,8 +51,6 @@ class TestDepthEstimation:
     def test_sharded_training_step(self):
         """Gradient step with the observation batch sharded over the mesh
         (the dp training pattern: XLA inserts the gradient psum)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from openmp_parallel_computing_tpu import parallel
 
         mesh = parallel.make_mesh(data=8, model=1)
@@ -60,11 +58,11 @@ class TestDepthEstimation:
         true_depth = jnp.full((batch, m), 2.5)
         p, u, p_next = synth_data(jax.random.PRNGKey(3), batch, m, 10, dt,
                                   true_depth)
-        shard = NamedSharding(mesh, P(parallel.DATA_AXIS))
+        shard = parallel.data_sharding(mesh)
         p, u, p_next = (jax.device_put(x, shard) for x in (p, u, p_next))
         est = DepthEstimator(m, dt, lr=0.2)
         state = est.init(batch)
-        repl = NamedSharding(mesh, P())
+        repl = parallel.replicated(mesh)
         state = jax.tree.map(
             lambda x: jax.device_put(
                 x, shard if getattr(x, "ndim", 0) >= 1 else repl), state)
