@@ -46,7 +46,9 @@ unsigned char *decode_jpeg(FILE *fp, int *w, int *h, int *channels) {
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
-  unsigned char *out = nullptr;
+  // volatile: modified between setjmp and longjmp; without it the cleanup
+  // path reads an indeterminate value (C99 7.13.2.1).
+  unsigned char *volatile out = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::free(out);
@@ -86,8 +88,9 @@ unsigned char *decode_png(FILE *fp, int *w, int *h, int *channels) {
     return nullptr;
   }
   png_infop info = png_create_info_struct(png);
-  unsigned char *out = nullptr;
-  png_bytep *rows = nullptr;
+  // volatile: modified after setjmp (see decode_jpeg).
+  unsigned char *volatile out = nullptr;
+  png_bytep *volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     set_error("png: decode failed");
     png_destroy_read_struct(&png, &info, nullptr);

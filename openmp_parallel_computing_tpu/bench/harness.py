@@ -30,14 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openmp_parallel_computing_tpu import imgio, ops, parallel
+from openmp_parallel_computing_tpu import imgio
+from openmp_parallel_computing_tpu.ops.runner import make_runner, pad_rows
 from openmp_parallel_computing_tpu.utils.timing import sync
-
-KERNELS = {
-    "grayscale": lambda img, passes=1: ops.grayscale(img, passes=passes),
-    "edge": lambda img, passes=1: ops.edge_pipeline(img, passes=passes),
-    "blur": lambda img, passes=1: ops.gaussian_blur(img, passes=passes),
-}
 
 
 @dataclasses.dataclass
@@ -47,25 +42,6 @@ class SweepRow:
     std_real_s: float
     avg_cpu_pct: float
     avg_mem_kb: float
-
-
-def _passes_fn(kernel_name: str, passes: int, mesh=None):
-    """One jitted computation running the kernel ``passes`` times on device.
-    Unsharded kernels hoist padding out of the pass loop (ops' ``passes``);
-    the spatially sharded path loops the sharded pipeline."""
-    if mesh is not None and mesh.shape[parallel.MODEL_AXIS] > 1:
-        if kernel_name == "grayscale":
-            raise ValueError("sharded sweep supports stencil kernels")
-        base = lambda img: parallel.sharded_edge_pipeline(img, mesh)
-
-        @jax.jit
-        def run(img):
-            return jax.lax.fori_loop(0, passes, lambda _, x: base(x), img)
-
-        return run
-
-    base = KERNELS[kernel_name]
-    return jax.jit(lambda img: base(img, passes=passes))
 
 
 def bench_kernel(image: str | Path | np.ndarray, workers=(1,), runs: int = 3,
@@ -85,15 +61,9 @@ def bench_kernel(image: str | Path | np.ndarray, workers=(1,), runs: int = 3,
     for w in workers:
         if w > n_dev:
             continue
-        mesh = (parallel.make_mesh(data=1, model=w,
-                                   devices=jax.devices()[:w])
-                if w > 1 else None)
-        img = chw
-        if mesh is not None:
-            pad = (-img.shape[1]) % w
-            img = np.pad(img, ((0, 0), (0, pad), (0, 0)))
-        run = _passes_fn(kernel, passes, mesh)
-        x = jax.device_put(jnp.asarray(img))
+        img, _ = pad_rows(jnp.asarray(chw), w)
+        run = make_runner(kernel, passes, w)
+        x = jax.device_put(img)
         sync(run(x))  # compile outside the timed region
 
         values = []

@@ -46,7 +46,7 @@ def measure_scaling(cfg: MPCConfig | None = None, device_counts=None,
     frame = rng_frame.integers(0, 256, size=frame_shape, dtype=np.uint8)
 
     rows = []
-    base_tp = None
+    base = None  # (devices, throughput) of the first measured point
     for d in device_counts:
         mesh = parallel.make_mesh(data=d, model=1,
                                   devices=jax.devices()[:d])
@@ -62,15 +62,17 @@ def measure_scaling(cfg: MPCConfig | None = None, device_counts=None,
             values.append(time.perf_counter() - t0)
         mean = float(np.mean(values))
         tp = n_scen / mean
-        if base_tp is None:
-            base_tp = tp
+        if base is None:
+            base = (d, tp)
+        # per-device throughput relative to the first measured point (which
+        # need not be 1 device)
         rows.append({
             "devices": d,
             "scenarios": n_scen,
             "avg_s": mean,
             "std_s": float(np.std(values)),
             "solves_per_s": tp,
-            "efficiency": tp / (d * base_tp),
+            "efficiency": (tp / d) / (base[1] / base[0]),
         })
 
     out_dir = Path(out_dir)

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openmp_parallel_computing_tpu import imgio, ops, parallel
+from openmp_parallel_computing_tpu import imgio
+from openmp_parallel_computing_tpu.ops.runner import make_runner, pad_rows
 from openmp_parallel_computing_tpu.utils.timing import sync
 
 _LABELS = {
@@ -53,25 +54,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error loading image: {exc}", file=sys.stderr)
         return 1
 
-    chw = jnp.asarray(np.transpose(hwc, (2, 0, 1)))
     devices = max(1, min(args.devices, len(jax.devices())))
-    base = {
-        "grayscale": lambda img, passes=1: ops.grayscale(img, passes=passes),
-        "edge": lambda img, passes=1: ops.edge_pipeline(img, passes=passes),
-        "blur": lambda img, passes=1: ops.gaussian_blur(img, passes=passes),
-    }[args.kernel]
-    orig_h = chw.shape[1]
-    if devices > 1 and args.kernel == "edge":
-        mesh = parallel.make_mesh(data=1, model=devices,
-                                  devices=jax.devices()[:devices])
-        sharded = lambda img: parallel.sharded_edge_pipeline(img, mesh)
-        pad = (-orig_h) % devices
-        if pad:
-            chw = jnp.pad(chw, ((0, 0), (0, pad), (0, 0)))
-        run = jax.jit(lambda img: jax.lax.fori_loop(
-            0, passes, lambda _, x: sharded(x), img))
-    else:
-        run = jax.jit(lambda img: base(img, passes=passes))
+    chw, orig_h = pad_rows(jnp.asarray(np.transpose(hwc, (2, 0, 1))),
+                           devices)
+    run = make_runner(args.kernel, passes, devices)
     sync(run(chw))  # compile outside the timed region (decode also excluded)
 
     t0 = time.perf_counter()

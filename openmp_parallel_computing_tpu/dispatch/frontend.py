@@ -116,9 +116,20 @@ class FrontendState:
     def status(self, key: str) -> dict:
         with self._lock:
             body = self.processed.get(key)
-        if body is None:
-            return {"processed": False}
-        return {"processed": True, **body}
+        if body is not None:
+            return {"processed": True, **body}
+        # Restart durability: the in-memory dict dies with the process, but
+        # the worker also persists the completion record (with timings) to
+        # the object store — read it back if present.
+        from pathlib import Path as _P
+
+        status_key = f"status/{_P(key).name}.json"
+        if key.startswith("uploads/") and self.store.exists(status_key):
+            body = json.loads(self.store.get(status_key))
+            with self._lock:
+                self.processed[key] = body
+            return {"processed": True, **body}
+        return {"processed": False}
 
     def shutdown(self) -> None:
         self._stop.set()

@@ -20,6 +20,7 @@ import argparse
 import multiprocessing as mp
 import signal
 import sys
+import threading
 
 from openmp_parallel_computing_tpu.utils.config import DispatchConfig
 
@@ -56,7 +57,10 @@ def main(argv=None) -> int:
           f"root={cfg.root}")
 
     def shutdown(*_):
-        httpd.shutdown()
+        # shutdown() must run on a different thread than serve_forever()
+        # (calling it from this signal handler, which executes on the
+        # serving thread, deadlocks on the internal event).
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGINT, shutdown)
     signal.signal(signal.SIGTERM, shutdown)

@@ -12,5 +12,7 @@ from openmp_parallel_computing_tpu.parallel.mesh import (  # noqa: F401
 )
 from openmp_parallel_computing_tpu.parallel.spatial import (  # noqa: F401
     sharded_edge_pipeline,
+    sharded_gaussian_blur,
+    sharded_grayscale,
     sharded_sobel,
 )

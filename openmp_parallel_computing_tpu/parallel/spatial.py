@@ -61,6 +61,54 @@ def sharded_sobel(gray: jax.Array, mesh: Mesh,
     return f(gray)
 
 
+def sharded_grayscale(img: jax.Array, mesh: Mesh,
+                      axis: str = MODEL_AXIS) -> jax.Array:
+    """(C, H, W) u8 grayscale with rows sharded over ``mesh[axis]``.
+
+    Elementwise per pixel — no halo needed; each device converts its rows.
+    """
+    from openmp_parallel_computing_tpu.ops.grayscale import (
+        grayscale as _grayscale_op)
+
+    c, h, w = img.shape
+    n = mesh.shape[axis]
+    if h % n:
+        raise ValueError(f"H={h} not divisible by mesh axis {axis}={n}")
+
+    f = jax.shard_map(lambda block: _grayscale_op(block), mesh=mesh,
+                      in_specs=P(None, axis, None),
+                      out_specs=P(None, axis, None), check_vma=False)
+    return f(img)
+
+
+def sharded_gaussian_blur(img: jax.Array, mesh: Mesh,
+                          axis: str = MODEL_AXIS) -> jax.Array:
+    """(C, H, W) u8 Gaussian blur (reference GBLUR semantics) with rows
+    sharded over ``mesh[axis]``; 1-row ppermute halos.
+
+    Correctness at shard seams: each device convolves its halo-extended
+    block and crops the halo rows. The conv kernel's own row masking only
+    affects the discarded halo rows, and the zero halos delivered at the
+    mesh edges reproduce the global zero-padding exactly.
+    """
+    from openmp_parallel_computing_tpu.ops.conv import (
+        gaussian_blur as _blur_op)
+
+    c, h, w = img.shape
+    n = mesh.shape[axis]
+    if h % n:
+        raise ValueError(f"H={h} not divisible by mesh axis {axis}={n}")
+
+    def local(block):  # (C, h_local, W)
+        top, bottom = collectives.halo_exchange_rows(block, axis)
+        ext = jnp.concatenate([top, block, bottom], axis=1)
+        return _blur_op(ext)[:, 1:-1]
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=P(None, axis, None),
+                      out_specs=P(None, axis, None), check_vma=False)
+    return f(img)
+
+
 def sharded_edge_pipeline(img: jax.Array, mesh: Mesh,
                           axis: str = MODEL_AXIS) -> jax.Array:
     """(C, H, W) u8 -> (C, H, W) u8 fused edge pipeline, rows sharded."""

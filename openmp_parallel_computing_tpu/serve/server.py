@@ -32,54 +32,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openmp_parallel_computing_tpu import imgio, ops, parallel
+from openmp_parallel_computing_tpu import imgio
+from openmp_parallel_computing_tpu.ops.runner import (
+    KERNEL_NAMES,
+    make_runner,
+    pad_rows,
+)
 from openmp_parallel_computing_tpu.utils.config import ServeConfig
 from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
-
-_KERNELS = {
-    "grayscale": lambda img, passes=1: ops.grayscale(img, passes=passes),
-    "edge": lambda img, passes=1: ops.edge_pipeline(img, passes=passes),
-    "blur": lambda img, passes=1: ops.gaussian_blur(img, passes=passes),
-}
-
-
-@functools.lru_cache(maxsize=64)
-def _compiled(kernel: str, shape: tuple, passes: int, devices: int):
-    if devices > 1 and kernel == "edge":
-        mesh = parallel.make_mesh(data=1, model=devices,
-                                  devices=jax.devices()[:devices])
-        sharded = lambda img: parallel.sharded_edge_pipeline(img, mesh)
-
-        @jax.jit
-        def run(img):
-            return jax.lax.fori_loop(0, passes, lambda _, x: sharded(x), img)
-
-        return run
-
-    base = _KERNELS[kernel]
-    return jax.jit(lambda img: base(img, passes=passes))
-
 
 _warmed: set[tuple] = set()
 
 
 def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
-                  devices: int) -> tuple[np.ndarray, float]:
+                  devices: int, warm: bool = True
+                  ) -> tuple[np.ndarray, float]:
     """Run the kernel pipeline; returns (result HWC u8, device seconds)."""
-    chw = jnp.asarray(np.transpose(data_hwc, (2, 0, 1)))
-    if devices > 1:
-        pad = (-chw.shape[1]) % devices
-        if pad:
-            chw = jnp.pad(chw, ((0, 0), (0, pad), (0, 0)))
+    chw, orig_h = pad_rows(jnp.asarray(np.transpose(data_hwc, (2, 0, 1))),
+                           devices)
     key = (kernel, chw.shape, passes, devices)
-    run = _compiled(*key)
-    if key not in _warmed:  # keep compile out of X-Compute, once per key
-        _ = np.asarray(run(chw))
+    run = make_runner(kernel, passes, devices)
+    if warm and key not in _warmed:
+        _ = np.asarray(run(chw))  # keep compile out of X-Compute
         _warmed.add(key)
     t0 = time.perf_counter()
     out = np.asarray(run(chw))
     compute_s = time.perf_counter() - t0
-    out = out[:, :data_hwc.shape[0], :]
+    out = out[:, :orig_h, :]
     return np.transpose(out, (1, 2, 0)), compute_s
 
 
@@ -179,7 +158,7 @@ class Handler(BaseHTTPRequestHandler):
         if kernel == "control":
             self._do_control()
             return
-        if kernel not in _KERNELS:
+        if kernel not in KERNEL_NAMES:
             self.send_error(404, f"unknown kernel {kernel!r}")
             return
         t_start = time.perf_counter()

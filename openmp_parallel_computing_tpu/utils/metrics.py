@@ -22,7 +22,10 @@ class Metrics:
         self._lock = threading.Lock()
         self._counters: dict[str, float] = defaultdict(float)
         self._gauges: dict[str, float] = {}
-        self._timings: dict[str, list[float]] = defaultdict(list)
+        # name -> [count, sum, max]: running aggregates, O(1) memory in a
+        # long-lived server (a raw sample list would grow without bound)
+        self._timings: dict[str, list[float]] = defaultdict(
+            lambda: [0, 0.0, 0.0])
 
     def inc(self, name: str, value: float = 1.0) -> None:
         with self._lock:
@@ -34,7 +37,10 @@ class Metrics:
 
     def observe(self, name: str, seconds: float) -> None:
         with self._lock:
-            self._timings[name].append(seconds)
+            agg = self._timings[name]
+            agg[0] += 1
+            agg[1] += seconds
+            agg[2] = max(agg[2], seconds)
 
     class _Span:
         def __init__(self, metrics: "Metrics", name: str):
@@ -56,11 +62,11 @@ class Metrics:
         with self._lock:
             timings = {
                 name: {
-                    "count": len(vals),
-                    "mean_s": sum(vals) / len(vals),
-                    "max_s": max(vals),
+                    "count": agg[0],
+                    "mean_s": agg[1] / agg[0],
+                    "max_s": agg[2],
                 }
-                for name, vals in self._timings.items() if vals
+                for name, agg in self._timings.items() if agg[0]
             }
             return {
                 "ts": time.time(),
