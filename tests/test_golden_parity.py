@@ -67,6 +67,16 @@ def test_imgio_roundtrip(tmp_path, frame):
     np.testing.assert_array_equal(imgio.load(p), hwc)
 
 
+def test_reference_gray_png_decodes():
+    """The reference's pre-converted grayscale fixture decodes cleanly
+    (PNG path, non-RGB channel count handled)."""
+    p = Path("/root/reference/images/test_gray.png")
+    img = imgio.load(p)
+    assert img.shape[0] == 1080 and img.shape[1] == 1920
+    assert img.shape[2] in (1, 3)
+    assert img.dtype == np.uint8
+
+
 def test_imgio_jpeg_encode(tmp_path, frame):
     hwc = np.transpose(frame, (1, 2, 0))
     p = tmp_path / "rt.jpg"
