@@ -12,6 +12,10 @@ Worker death is survivable by design: unacked jobs redeliver after the
 visibility timeout, and workers are plain processes that can be restarted
 (or scaled: ``--workers N`` is the replication recipe of
 ``event-driven/README.md:57-73``).
+
+Note for single-accelerator hosts: device claims serialize across
+processes, so run ``--workers 1`` when one TPU chip is attached (extra
+workers would queue behind each other on the device, not add throughput).
 """
 
 from __future__ import annotations
