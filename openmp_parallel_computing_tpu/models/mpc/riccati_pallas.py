@@ -39,51 +39,53 @@ LANE = 128
 
 
 def _mm(a, b, ka: int):
-    """Batch-last matmul: a (p, ka, B) @ b (ka, q, B) -> (p, q, B) via an
-    unrolled sum of broadcasted FMAs (pure VPU; no transposes)."""
-    out = a[:, 0:1, :] * b[0:1, :, :]
+    """Batch-last matmul: a (p, ka, *B) @ b (ka, q, *B) -> (p, q, *B) via an
+    unrolled sum of broadcasted FMAs (pure VPU; no transposes). ``*B`` is
+    one or more trailing batch dims (lanes, or sublanes x lanes when the
+    batch is packed into full vector tiles)."""
+    out = a[:, 0:1, ...] * b[0:1, :, ...]
     for j in range(1, ka):
-        out = out + a[:, j:j + 1, :] * b[j:j + 1, :, :]
+        out = out + a[:, j:j + 1, ...] * b[j:j + 1, :, ...]
     return out
 
 
 def _mv(a, v, ka: int):
-    """a (p, ka, B) @ v (ka, B) -> (p, B)."""
-    out = a[:, 0, :] * v[0:1, :]
+    """a (p, ka, *B) @ v (ka, *B) -> (p, *B)."""
+    out = a[:, 0, ...] * v[0:1, ...]
     for j in range(1, ka):
-        out = out + a[:, j, :] * v[j:j + 1, :]
+        out = out + a[:, j, ...] * v[j:j + 1, ...]
     return out
 
 
 def _spd_solve_lanes(A, B, n: int):
-    """Solve A X = B with A (n, n, Bt) SPD, B (n, k, Bt): fully unrolled
-    Cholesky over lane vectors."""
+    """Solve A X = B with A (n, n, *Bt) SPD, B (n, k, *Bt): fully unrolled
+    Cholesky over batch vectors."""
     L = [[None] * n for _ in range(n)]
     for j in range(n):
-        s = A[j, j, :]
+        s = A[j, j, ...]
         for p in range(j):
             s = s - L[j][p] * L[j][p]
         d = jnp.sqrt(s)
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):
-            s = A[i, j, :]
+            s = A[i, j, ...]
             for p in range(j):
                 s = s - L[i][p] * L[j][p]
             L[i][j] = s * inv_d
     Y = [None] * n
     for i in range(n):
-        s = B[i, :, :]
+        s = B[i, :, ...]
         for p in range(i):
-            s = s - L[i][p][None, :] * Y[p]
-        Y[i] = s / L[i][i][None, :]
+            s = s - L[i][p][None, ...] * Y[p]
+        Y[i] = s / L[i][i][None, ...]
     X = [None] * n
     for i in reversed(range(n)):
         s = Y[i]
         for p in range(i + 1, n):
-            s = s - L[p][i][None, :] * X[p]
-        X[i] = s / L[i][i][None, :]
-    return jnp.concatenate([x[None] for x in X], axis=0)  # (n, k, Bt)
+            s = s - L[p][i][None, ...] * X[p]
+        X[i] = s / L[i][i][None, ...]
+    return jnp.concatenate([x[None] for x in X], axis=0)  # (n, k, *Bt)
 
 
 def _backward_kernel(fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref,

@@ -261,59 +261,73 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     cdim = dynamics.CONTROL_DIM
     h_img, w_img = shape
     q, r, rho, qe = cfg.q_track, cfg.r_ctrl, cfg.rho, cfg.q_edge
-    Bp = -(-B // sp.LANE) * sp.LANE
+    # Sublane-packed batch tiles (8x128) for very large batches (measured
+    # +17% at 16k scenarios, neutral-to-slightly-negative below 8k where
+    # the XLA glue dominates); smaller batches stay lane-only (128).
+    pack = B >= 8192
+    tile = sp.SUB * sp.LANE if pack else sp.LANE
+    Bp = -(-B // tile) * tile
+    bshape = (Bp // sp.LANE, sp.LANE) if pack else (Bp,)
 
     def lanes(a, ndim):
         perm = tuple(range(1, ndim)) + (0,)
         a = jnp.transpose(a, perm)
-        return jnp.pad(a, [(0, 0)] * (ndim - 1) + [(0, Bp - B)])
+        a = jnp.pad(a, [(0, 0)] * (ndim - 1) + [(0, Bp - B)])
+        return a.reshape(a.shape[:-1] + bshape)
 
-    p0_l = lanes(scen.p0, 2)               # (n, Bp)
+    def unlanes(a_l, lead_dims):
+        """(**lead, *bshape) -> (B, **lead)."""
+        a = a_l.reshape(a_l.shape[:lead_dims] + (Bp,))
+        perm = (lead_dims,) + tuple(range(lead_dims))
+        return jnp.transpose(a, perm)[:B]
+
+    p0_l = lanes(scen.p0, 2)               # (n, *bshape)
     target_l = lanes(scen.target, 2)
-    izd_l = lanes(1.0 / scen.depth, 2)     # (m, Bp); padding lanes -> inf?
-    izd_l = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, izd_l.shape, 1) >= B,
-        1.0, izd_l)
-    us_l = lanes(scen.us0, 3)              # (h, c, Bp)
+    izd = 1.0 / scen.depth                 # padding lanes get depth 1.0
+    izd = jnp.pad(jnp.transpose(izd, (1, 0)), ((0, 0), (0, Bp - B)),
+                  constant_values=1.0)
+    izd_l = izd.reshape(izd.shape[:-1] + bshape)
+    us_l = lanes(scen.us0, 3)              # (h, c, *bshape)
 
-    kw = dict(m=m, q=q, r=r, rho=rho, qe=qe, dt=cfg.dt)
+    kw = dict(m=m, q=q, r=r, rho=rho, qe=qe, dt=cfg.dt, pack=pack)
 
     def edge_grads(ps_l):
         """Pyramid value+grad at the nominal trajectory -> lanes layout."""
         if not qe:
-            return (jnp.zeros((h + 1, Bp), jnp.float32),
-                    jnp.zeros((h + 1, n, Bp), jnp.float32))
-        ps_b = jnp.transpose(ps_l, (2, 0, 1))[:B]   # (B, h+1, n)
+            return (None, jnp.zeros((h + 1, n) + bshape, jnp.float32))
+        ps_b = unlanes(ps_l, 2)                     # (B, h+1, n)
 
         def eo(p):
             return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
 
         e, g = jax.vmap(jax.vmap(jax.value_and_grad(eo)))(ps_b)
-        e_l = jnp.pad(jnp.transpose(e, (1, 0)), ((0, 0), (0, Bp - B)))
         g_l = jnp.pad(jnp.transpose(g, (1, 2, 0)),
                       ((0, 0), (0, 0), (0, Bp - B)))
-        return e_l, g_l
+        return None, g_l.reshape(g_l.shape[:-1] + bshape)
 
-    zeros_g = jnp.zeros((h + 1, n, Bp), jnp.float32)
-    zero_gains = (jnp.zeros((h, cdim, n, Bp), jnp.float32),
-                  jnp.zeros((h, cdim, Bp), jnp.float32))
+    zeros_g = jnp.zeros((h + 1, n) + bshape, jnp.float32)
+    zero_gains = (jnp.zeros((h, cdim, n) + bshape, jnp.float32),
+                  jnp.zeros((h, cdim) + bshape, jnp.float32))
 
     def rollout_nominal(us_l, z_l, y_l):
         """Initial nominal trajectory via the forward kernel with zero
         gains (every candidate collapses to the nominal)."""
-        ps0 = jnp.zeros((h + 1, n, Bp), jnp.float32)
+        ps0 = jnp.zeros((h + 1, n) + bshape, jnp.float32)
         ps_c, _, _ = sp.forward_sweep(p0_l, ps0, us_l, *zero_gains, z_l,
                                       y_l, zeros_g, target_l, izd_l, **kw)
-        return ps_c[:, 0]                           # (h+1, n, Bp)
+        return ps_c[:, 0]                           # (h+1, n, *bshape)
 
     def pick(J, cand, a_axis):
-        """Select the argmin-J candidate per lane via one-hot contraction."""
+        """Select the argmin-J candidate per scenario via one-hot
+        contraction. J (A, *bshape); cand has the A axis at ``a_axis`` and
+        the batch dims trailing."""
         onehot = (jax.lax.broadcasted_iota(
             jnp.int32, J.shape, 0) == jnp.argmin(J, axis=0)[None]
-        ).astype(jnp.float32)                       # (A, Bp)
+        ).astype(jnp.float32)                       # (A, *bshape)
+        nb = len(bshape)
         shape = [1] * cand.ndim
         shape[a_axis] = cand.shape[a_axis]
-        shape[-1] = cand.shape[-1]
+        shape[-nb:] = J.shape[1:]
         return jnp.sum(cand * onehot.reshape(shape), axis=a_axis)
 
     def ilqr_once(carry):
@@ -348,8 +362,8 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
 
     # Final feasible controls + their true trajectory/cost.
     ps_final_l = rollout_nominal(z_l, z_l, y_l)
-    us = jnp.transpose(z_l, (2, 0, 1))[:B]
-    ps = jnp.transpose(ps_final_l, (2, 0, 1))[:B]
+    us = unlanes(z_l, 2)
+    ps = unlanes(ps_final_l, 2)
     track = q * jnp.sum((ps - scen.target[:, None]) ** 2, axis=(1, 2))
     ctrl = r * jnp.sum(us ** 2, axis=(1, 2))
     if qe:
@@ -362,8 +376,8 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
         us=us,
         ps=ps,
         cost=track + ctrl + edge_total,
-        primal_residual=jnp.max(
-            jnp.abs(jnp.transpose(us_l - z_l, (2, 0, 1))[:B]), axis=(1, 2)),
+        primal_residual=jnp.max(jnp.abs(unlanes(us_l - z_l, 2)),
+                                axis=(1, 2)),
     )
 
 

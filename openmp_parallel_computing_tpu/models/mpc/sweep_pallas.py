@@ -42,12 +42,13 @@ CONTROL_DIM = 6
 
 
 def _features(p, m: int):
-    """Split a (n, B) state block into x (m, B), y (m, B).
+    """Split a (n, *B) state block into x (m, *B), y (m, *B).
 
     Explicit row rebuild instead of strided slicing — Mosaic lowers
-    ``p[0::2]`` to an unsupported gather."""
-    x = jnp.concatenate([p[2 * i:2 * i + 1, :] for i in range(m)], axis=0)
-    y = jnp.concatenate([p[2 * i + 1:2 * i + 2, :] for i in range(m)],
+    ``p[0::2]`` to an unsupported gather. ``*B`` is one or more trailing
+    batch dims (lanes, or sublanes x lanes when packed)."""
+    x = jnp.concatenate([p[2 * i:2 * i + 1, ...] for i in range(m)], axis=0)
+    y = jnp.concatenate([p[2 * i + 1:2 * i + 2, ...] for i in range(m)],
                         axis=0)
     return x, y
 
@@ -59,46 +60,45 @@ def _build_fx_fu(p, u, inv_depth, dt: float, m: int):
     Mirrors ``dynamics.linearize_analytic`` exactly.
     """
     n = 2 * m
-    x, y = _features(p, m)                      # (m, B)
-    vz, wx, wy, wz = u[2:3], u[3:4], u[4:5], u[5:6]  # (1, B)
-    iz = inv_depth                              # (m, B)
+    x, y = _features(p, m)                      # (m, *B)
+    vz, wx, wy, wz = u[2:3], u[3:4], u[4:5], u[5:6]  # (1, *B)
+    iz = inv_depth                              # (m, *B)
 
     a = dt * (vz * iz + y * wx - 2.0 * x * wy)  # dxdot/dx * dt
     b = dt * (x * wx + wz)
     c2 = dt * (-y * wy - wz)
     d = dt * (vz * iz + 2.0 * y * wx - x * wy)
 
-    B = p.shape[-1]
-    zero1 = lambda k: jnp.zeros((1, k, B), jnp.float32)
+    Bdims = p.shape[1:]
+    zero1 = lambda k: jnp.zeros((1, k) + Bdims, jnp.float32)
+    col = lambda v: v[:, None, ...]             # (1,*B) -> (1,1,*B)
     fx_rows = []
     for i in range(m):
         left, right = 2 * i, n - 2 * i - 2
         row_x = [jnp.concatenate(
             ([zero1(left)] if left else [])
-            + [1.0 + a[i:i + 1, :][:, None, :], b[i:i + 1, :][:, None, :]]
+            + [col(1.0 + a[i:i + 1, ...]), col(b[i:i + 1, ...])]
             + ([zero1(right)] if right else []), axis=1)]
         row_y = [jnp.concatenate(
             ([zero1(left)] if left else [])
-            + [c2[i:i + 1, :][:, None, :], 1.0 + d[i:i + 1, :][:, None, :]]
+            + [col(c2[i:i + 1, ...]), col(1.0 + d[i:i + 1, ...])]
             + ([zero1(right)] if right else []), axis=1)]
         fx_rows += row_x + row_y
-    fx = jnp.concatenate(fx_rows, axis=0)       # (n, n, B)
+    fx = jnp.concatenate(fx_rows, axis=0)       # (n, n, *B)
 
-    one = jnp.ones((1, B), jnp.float32)
-    zv = jnp.zeros((1, B), jnp.float32)
+    one = jnp.ones((1,) + Bdims, jnp.float32)
+    zv = jnp.zeros((1,) + Bdims, jnp.float32)
     fu_rows = []
     for i in range(m):
         xi, yi, izi = x[i:i + 1], y[i:i + 1], iz[i:i + 1]
         row_x = jnp.concatenate([
-            (-izi)[:, None, :], zv[:, None, :], (xi * izi)[:, None, :],
-            (xi * yi)[:, None, :], (-(one + xi * xi))[:, None, :],
-            yi[:, None, :]], axis=1)
+            col(-izi), col(zv), col(xi * izi),
+            col(xi * yi), col(-(one + xi * xi)), col(yi)], axis=1)
         row_y = jnp.concatenate([
-            zv[:, None, :], (-izi)[:, None, :], (yi * izi)[:, None, :],
-            (one + yi * yi)[:, None, :], (-(xi * yi))[:, None, :],
-            (-xi)[:, None, :]], axis=1)
+            col(zv), col(-izi), col(yi * izi),
+            col(one + yi * yi), col(-(xi * yi)), col(-xi)], axis=1)
         fu_rows += [row_x, row_y]
-    fu = dt * jnp.concatenate(fu_rows, axis=0)  # (n, c, B)
+    fu = dt * jnp.concatenate(fu_rows, axis=0)  # (n, c, *B)
     return fx, fu
 
 
@@ -126,8 +126,8 @@ def _dyn_step(p, u, inv_depth, dt: float, m: int):
 
 
 def _tp(a, n: int):
-    """(p, q, B) -> (q, p, B) small transpose by row rebuild."""
-    return jnp.concatenate([a[:, i, :][None] for i in range(n)], axis=0)
+    """(p, q, *B) -> (q, p, *B) small transpose by row rebuild."""
+    return jnp.concatenate([a[:, i, ...][None] for i in range(n)], axis=0)
 
 
 def _backward_sweep_kernel(ps_ref, us_ref, z_ref, y_ref, g_ref, pterm_ref,
@@ -138,14 +138,19 @@ def _backward_sweep_kernel(ps_ref, us_ref, z_ref, y_ref, g_ref, pterm_ref,
     t = pl.program_id(1)
     target = target_ref[...]
 
+    bdims = len(target_ref.shape) - 1  # number of trailing batch dims
+
+    def _eye(k):
+        shape = (k, k) + (1,) * bdims
+        return (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                == jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                ).astype(jnp.float32)
+
     @pl.when(t == 0)
     def _():  # terminal expansion
         Vx_scr[...] = 2.0 * q * (pterm_ref[0] - target) \
             + qe * gterm_ref[0]
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-               == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-               ).astype(jnp.float32)
-        Vxx_scr[...] = jnp.broadcast_to(2.0 * q * eye, Vxx_scr.shape)
+        Vxx_scr[...] = jnp.broadcast_to(2.0 * q * _eye(n), Vxx_scr.shape)
 
     p_t = ps_ref[0]
     u_t = us_ref[0]
@@ -161,12 +166,8 @@ def _backward_sweep_kernel(ps_ref, us_ref, z_ref, y_ref, g_ref, pterm_ref,
     Vxx_fx = _mm(Vxx, fx, n)
     Vxx_fu = _mm(Vxx, fu, n)
 
-    eye_n = (jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-             ).astype(jnp.float32)
-    eye_c = (jax.lax.broadcasted_iota(jnp.int32, (c, c, 1), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (c, c, 1), 1)
-             ).astype(jnp.float32)
+    eye_n = _eye(n)
+    eye_c = _eye(c)
 
     Qx = lx + _mv(fxT, Vx, n)
     Qu = lu + _mv(fuT, Vx, n)
@@ -174,10 +175,10 @@ def _backward_sweep_kernel(ps_ref, us_ref, z_ref, y_ref, g_ref, pterm_ref,
     Quu = (2.0 * r + rho + reg) * eye_c + _mm(fuT, Vxx_fu, n)
     Qux = _mm(fuT, Vxx_fx, n)
 
-    rhs = jnp.concatenate([Qu[:, None, :], Qux], axis=1)
+    rhs = jnp.concatenate([Qu[:, None, ...], Qux], axis=1)
     sol = -_spd_solve_lanes(Quu, rhs, c)
-    kff = sol[:, 0, :]
-    K = sol[:, 1:, :]
+    kff = sol[:, 0, ...]
+    K = sol[:, 1:, ...]
 
     KT = _tp(K, n)
     QuxT = _tp(Qux, n)
@@ -206,8 +207,8 @@ def _forward_sweep_kernel(p0_ref, ps_ref, us_ref, K_ref, k_ref, z_ref,
 
     @pl.when(t == 0)
     def _():
-        p_scr[...] = jnp.broadcast_to(p0_ref[...][None], (A, n,
-                                                          p0_ref.shape[-1]))
+        p_scr[...] = jnp.broadcast_to(p0_ref[...][None],
+                                      (A,) + tuple(p0_ref.shape))
         J_scr[...] = jnp.zeros_like(J_scr)
 
     p_nom = ps_ref[0]
@@ -245,130 +246,168 @@ def _forward_sweep_kernel(p0_ref, ps_ref, us_ref, K_ref, k_ref, z_ref,
                                  J_scr[a_idx] + J_term, J_scr[a_idx])
 
 
-def _lanes_specs(m: int, H: int):
-    n, c = 2 * m, CONTROL_DIM
-    t_rev4 = lambda b, t: (H - 1 - t, 0, 0, b)
-    t_rev3 = lambda b, t: (H - 1 - t, 0, b)
-    t_fwd4 = lambda b, t: (t, 0, 0, b)
-    t_fwd3 = lambda b, t: (t, 0, b)
-    const2 = lambda b, t: (0, b)
-    return n, c, t_rev4, t_rev3, t_fwd4, t_fwd3, const2
+# Sublane packing: with pack=True the batch occupies BOTH the sublane and
+# lane dimensions — tiles of SUB x LANE = 1024 scenarios whose every
+# elementwise op is a full (8, 128) vector tile, instead of the 1-2 busy
+# sublanes the row-sliced matrix ops otherwise use. Pure layout change
+# (trailing reshape of the lanes arrays); the kernels are batch-dim
+# agnostic.
+SUB = 8
+
+
+def _bshape(pack: bool) -> tuple[int, ...]:
+    return (SUB, LANE) if pack else (LANE,)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",
-                                             "dt", "reg"))
+                                             "dt", "reg", "pack"))
 def backward_sweep(ps, us, z, y, g, target, inv_depth, *, m: int, q: float,
                    r: float, rho: float, qe: float, dt: float,
-                   reg: float = 1e-6):
+                   reg: float = 1e-6, pack: bool = False):
     """Lanes-layout fused backward sweep.
 
-    ps (H+1, n, B), us/z/y (H, c, B), g (H+1, n, B), target (n, B),
-    inv_depth (m, B); B a multiple of 128. Returns K (H, c, n, B),
-    k (H, c, B).
+    ps (H+1, n, *B), us/z/y (H, c, *B), g (H+1, n, *B), target (n, *B),
+    inv_depth (m, *B); trailing batch dims are (LANE,)-tiled, or
+    (SUB, LANE)-tiled with ``pack``. Returns K (H, c, n, *B), k (H, c, *B).
     """
     H = us.shape[0]
-    Bp = ps.shape[-1]
-    n, c, t_rev4, t_rev3, _, _, const2 = _lanes_specs(m, H)
-    nb = Bp // LANE
+    n, c = 2 * m, CONTROL_DIM
+    bs = _bshape(pack)
+    nb = int(np_prod(ps.shape[2:])) // int(np_prod(bs))
 
-    sp3 = lambda s, fn: pl.BlockSpec((1, s, LANE), fn,
-                                     memory_space=pltpu.VMEM)
-    spc2 = lambda s: pl.BlockSpec((s, LANE), const2,
-                                  memory_space=pltpu.VMEM)
-    term3 = lambda b, t: (H, 0, b)
+    def blk(*lead):
+        return tuple(lead) + bs
+
+    def t_rev(b, t):
+        return (H - 1 - t,) + (0,) * 1 + (b,) + (0,) * (len(bs) - 1)
+
+    def t_rev_m(b, t):  # for 2-matrix-dim tensors (K)
+        return (H - 1 - t, 0, 0, b) + (0,) * (len(bs) - 1)
+
+    def term(b, t):
+        return (H, 0, b) + (0,) * (len(bs) - 1)
+
+    def const(b, t):
+        return (0, b) + (0,) * (len(bs) - 1)
+
+    sp = lambda s, fn: pl.BlockSpec(blk(1, s), fn, memory_space=pltpu.VMEM)
+    spc = lambda s: pl.BlockSpec(blk(s), const, memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         functools.partial(_backward_sweep_kernel, m=m, q=q, r=r, rho=rho,
                           qe=qe, dt=dt, reg=reg),
         grid=(nb, H),
         in_specs=[
-            sp3(n, t_rev3),          # ps (step t)
-            sp3(c, t_rev3),          # us
-            sp3(c, t_rev3),          # z
-            sp3(c, t_rev3),          # y
-            sp3(n, t_rev3),          # g
-            sp3(n, term3),           # ps terminal  (block row H)
-            sp3(n, term3),           # g terminal
-            spc2(n),                 # target
-            spc2(m),                 # inv_depth
+            sp(n, t_rev),            # ps (step t)
+            sp(c, t_rev),            # us
+            sp(c, t_rev),            # z
+            sp(c, t_rev),            # y
+            sp(n, t_rev),            # g
+            sp(n, term),             # ps terminal  (block row H)
+            sp(n, term),             # g terminal
+            spc(n),                  # target
+            spc(m),                  # inv_depth
         ],
         out_specs=(
-            pl.BlockSpec((1, c, n, LANE), t_rev4, memory_space=pltpu.VMEM),
-            sp3(c, t_rev3),
+            pl.BlockSpec(blk(1, c, n), t_rev_m, memory_space=pltpu.VMEM),
+            sp(c, t_rev),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((H, c, n, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((H, c, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((H, c, n) + ps.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((H, c) + ps.shape[2:], jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, LANE), jnp.float32),
-            pltpu.VMEM((n, n, LANE), jnp.float32),
+            pltpu.VMEM((n,) + bs, jnp.float32),
+            pltpu.VMEM((n, n) + bs, jnp.float32),
         ],
         interpret=interpret_mode(),
     )(ps, us, z, y, g, ps, g, target, inv_depth)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",
-                                             "dt"))
+                                             "dt", "pack"))
 def forward_sweep(p0, ps, us, K, k, z, y, g, target, inv_depth, *, m: int,
-                  q: float, r: float, rho: float, qe: float, dt: float):
+                  q: float, r: float, rho: float, qe: float, dt: float,
+                  pack: bool = False):
     """Lanes-layout line-searched forward rollout.
 
-    Returns (ps_c (H+1, A, n, B), us_c (H, A, c, B), J (A, B)) where
+    Returns (ps_c (H+1, A, n, *B), us_c (H, A, c, *B), J (A, *B)) where
     candidate 0 (alpha=0) is exactly the nominal trajectory/cost.
     """
     H = us.shape[0]
-    Bp = ps.shape[-1]
-    n, c, _, _, t_fwd4, t_fwd3, const2 = _lanes_specs(m, H)
+    n, c = 2 * m, CONTROL_DIM
     A = len(ALPHAS)
-    nb = Bp // LANE
+    bs = _bshape(pack)
+    nb = int(np_prod(ps.shape[2:])) // int(np_prod(bs))
 
-    sp3 = lambda s, fn: pl.BlockSpec((1, s, LANE), fn,
-                                     memory_space=pltpu.VMEM)
-    spc2 = lambda s: pl.BlockSpec((s, LANE), const2,
-                                  memory_space=pltpu.VMEM)
-    term3 = lambda b, t: (H, 0, b)
-    out4 = lambda b, t: (t, 0, 0, b)
-    outps = lambda b, t: (t + 1, 0, 0, b)
-    outJ = lambda b, t: (0, b)
+    def blk(*lead):
+        return tuple(lead) + bs
+
+    def t_fwd(b, t):
+        return (t, 0, b) + (0,) * (len(bs) - 1)
+
+    def t_fwd_m(b, t):
+        return (t, 0, 0, b) + (0,) * (len(bs) - 1)
+
+    def term(b, t):
+        return (H, 0, b) + (0,) * (len(bs) - 1)
+
+    def const(b, t):
+        return (0, b) + (0,) * (len(bs) - 1)
+
+    def outps(b, t):
+        return (t + 1, 0, 0, b) + (0,) * (len(bs) - 1)
+
+    def outJ(b, t):
+        return (0, b) + (0,) * (len(bs) - 1)
+
+    sp = lambda s, fn: pl.BlockSpec(blk(1, s), fn, memory_space=pltpu.VMEM)
+    spc = lambda s: pl.BlockSpec(blk(s), const, memory_space=pltpu.VMEM)
 
     ps_c, us_c, J = pl.pallas_call(
         functools.partial(_forward_sweep_kernel, m=m, q=q, r=r, rho=rho,
                           qe=qe, dt=dt, horizon=H),
         grid=(nb, H),
         in_specs=[
-            spc2(n),                 # p0
-            sp3(n, t_fwd3),          # ps nominal (step t)
-            sp3(c, t_fwd3),          # us nominal
-            pl.BlockSpec((1, c, n, LANE), t_fwd4,
+            spc(n),                  # p0
+            sp(n, t_fwd),            # ps nominal (step t)
+            sp(c, t_fwd),            # us nominal
+            pl.BlockSpec(blk(1, c, n), t_fwd_m,
                          memory_space=pltpu.VMEM),   # K
-            sp3(c, t_fwd3),          # k
-            sp3(c, t_fwd3),          # z
-            sp3(c, t_fwd3),          # y
-            sp3(n, t_fwd3),          # g
-            sp3(n, term3),           # ps terminal (nominal)
-            sp3(n, term3),           # g terminal
-            spc2(n),                 # target
-            spc2(m),                 # inv_depth
+            sp(c, t_fwd),            # k
+            sp(c, t_fwd),            # z
+            sp(c, t_fwd),            # y
+            sp(n, t_fwd),            # g
+            sp(n, term),             # ps terminal (nominal)
+            sp(n, term),             # g terminal
+            spc(n),                  # target
+            spc(m),                  # inv_depth
         ],
         out_specs=(
-            pl.BlockSpec((1, A, n, LANE), outps, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, c, LANE), out4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, LANE), outJ, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(1, A, n), outps, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(1, A, c), t_fwd_m, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(A), outJ, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((H + 1, A, n, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((H, A, c, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((A, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((H + 1, A, n) + ps.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((H, A, c) + ps.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((A,) + ps.shape[2:], jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((A, n, LANE), jnp.float32),
-            pltpu.VMEM((A, LANE), jnp.float32),
+            pltpu.VMEM((A, n) + bs, jnp.float32),
+            pltpu.VMEM((A,) + bs, jnp.float32),
         ],
         interpret=interpret_mode(),
     )(p0, ps, us, K, k, z, y, g, ps, g, target, inv_depth)
     # Row 0 of ps_c is never written by the kernel (outputs start at t+1);
     # every candidate starts at p0.
-    ps0 = jnp.broadcast_to(p0[None, None], (1, A, n, Bp))
+    ps0 = jnp.broadcast_to(p0[None, None], (1, A, n) + ps.shape[2:])
     ps_c = jnp.concatenate([ps0, ps_c[1:]], axis=0)
     return ps_c, us_c, J
+
+
+def np_prod(t) -> int:
+    out = 1
+    for v in t:
+        out *= int(v)
+    return out
