@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from openmp_parallel_computing_tpu.models.mpc import costs, dynamics, riccati
 from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
@@ -330,15 +331,27 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
         shape[-nb:] = J.shape[1:]
         return jnp.sum(cand * onehot.reshape(shape), axis=a_axis)
 
+    # One-launch unified sweep keeps the gains in VMEM scratch between the
+    # backward and forward phases — use it whenever that scratch fits.
+    tilesz = int(np.prod(bshape[-2:])) if pack else bshape[-1]
+    gains_scratch = (h * cdim * (n + 1) + n * n + n
+                     + len(sp.ALPHAS) * (n + 1)) * tilesz * 4
+    use_unified = gains_scratch < 10 * 1024 * 1024
+
     def ilqr_once(carry):
         us_l, ps_l, z_l, y_l = carry
         _, g_l = edge_grads(ps_l)
-        K, kff = sp.backward_sweep(ps_l, us_l, z_l, y_l, g_l, target_l,
-                                   izd_l, **kw)
-        ps_c, us_c, J = sp.forward_sweep(p0_l, ps_l, us_l, K, kff, z_l,
-                                         y_l, g_l, target_l, izd_l, **kw)
-        us_new = pick(J, us_c, 1)                   # (h, c, Bp)
-        ps_new = pick(J, ps_c, 1)                   # (h+1, n, Bp)
+        if use_unified:
+            ps_c, us_c, J = sp.unified_sweep(p0_l, ps_l, us_l, z_l, y_l,
+                                             g_l, target_l, izd_l, **kw)
+        else:
+            K, kff = sp.backward_sweep(ps_l, us_l, z_l, y_l, g_l, target_l,
+                                       izd_l, **kw)
+            ps_c, us_c, J = sp.forward_sweep(p0_l, ps_l, us_l, K, kff, z_l,
+                                             y_l, g_l, target_l, izd_l,
+                                             **kw)
+        us_new = pick(J, us_c, 1)                   # (h, c, *bshape)
+        ps_new = pick(J, ps_c, 1)                   # (h+1, n, *bshape)
         return us_new, ps_new
 
     def admm_body(carry, _):

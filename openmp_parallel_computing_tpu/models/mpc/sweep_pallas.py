@@ -411,3 +411,194 @@ def np_prod(t) -> int:
     for v in t:
         out *= int(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unified sweep: backward + forward in ONE kernel launch.
+#
+# Grid (batch_tiles, 2H): steps t < H run the backward recursion (time index
+# H-1-t) writing the gains into VMEM scratch; steps t >= H run the
+# line-searched forward rollout (time index t-H) reading them back — the
+# gains never touch HBM and the per-sweep launch count halves. Output blocks
+# are parked at index 0 during the backward phase (fetched and stored back
+# unmodified — revisiting semantics make that a no-op) and written for real
+# during the forward phase.
+# ---------------------------------------------------------------------------
+
+
+def _unified_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
+                          pterm_ref, gterm_ref, target_ref, izd_ref,
+                          psout_ref, usout_ref, J_ref,
+                          Vx_scr, Vxx_scr, K_scr, k_scr, p_scr, J_scr, *,
+                          m: int, q: float, r: float, rho: float, qe: float,
+                          dt: float, reg: float, horizon: int):
+    n, c = 2 * m, CONTROL_DIM
+    A = len(ALPHAS)
+    H = horizon
+    t = pl.program_id(1)
+    target = target_ref[...]
+    izd = izd_ref[...]
+    bdims = len(target_ref.shape) - 1
+
+    def _eye(k):
+        shape = (k, k) + (1,) * bdims
+        return (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                == jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                ).astype(jnp.float32)
+
+    @pl.when(t == 0)
+    def _():  # terminal expansion for the backward phase
+        Vx_scr[...] = 2.0 * q * (pterm_ref[0] - target) \
+            + qe * gterm_ref[0]
+        Vxx_scr[...] = jnp.broadcast_to(2.0 * q * _eye(n), Vxx_scr.shape)
+
+    @pl.when(t < H)
+    def _backward():
+        tau = H - 1 - t
+        p_t = ps_ref[0]
+        u_t = us_ref[0]
+        fx, fu = _build_fx_fu(p_t, u_t, izd, dt, m)
+        lx = 2.0 * q * (p_t - target) + qe * g_ref[0]
+        lu = 2.0 * r * u_t + rho * (u_t - z_ref[0] + y_ref[0])
+        Vx = Vx_scr[...]
+        Vxx = Vxx_scr[...]
+        fxT = _tp(fx, n)
+        fuT = _tp(fu, c)
+        Vxx_fx = _mm(Vxx, fx, n)
+        Vxx_fu = _mm(Vxx, fu, n)
+        Qx = lx + _mv(fxT, Vx, n)
+        Qu = lu + _mv(fuT, Vx, n)
+        Qxx = 2.0 * q * _eye(n) + _mm(fxT, Vxx_fx, n)
+        Quu = (2.0 * r + rho + reg) * _eye(c) + _mm(fuT, Vxx_fu, n)
+        Qux = _mm(fuT, Vxx_fx, n)
+        rhs = jnp.concatenate([Qu[:, None, ...], Qux], axis=1)
+        sol = -_spd_solve_lanes(Quu, rhs, c)
+        kff = sol[:, 0, ...]
+        K = sol[:, 1:, ...]
+        KT = _tp(K, n)
+        QuxT = _tp(Qux, n)
+        Quu_kff = _mv(Quu, kff, c)
+        Vx_scr[...] = (Qx + _mv(KT, Quu_kff, c) + _mv(KT, Qu, c)
+                       + _mv(QuxT, kff, c))
+        Quu_K = _mm(Quu, K, c)
+        Vxx_new = (Qxx + _mm(KT, Quu_K, c) + _mm(KT, Qux, c)
+                   + _mm(QuxT, K, c))
+        Vxx_scr[...] = 0.5 * (Vxx_new + _tp(Vxx_new, n))
+        K_scr[pl.ds(tau, 1)] = K[None]
+        k_scr[pl.ds(tau, 1)] = kff[None]
+
+    @pl.when(t == H)
+    def _():  # forward-phase init
+        p_scr[...] = jnp.broadcast_to(p0_ref[...][None],
+                                      (A,) + tuple(p0_ref.shape))
+        J_scr[...] = jnp.zeros_like(J_scr)
+
+    @pl.when(t >= H)
+    def _forward():
+        tau = t - H
+        p_nom = ps_ref[0]
+        u_nom = us_ref[0]
+        K = K_scr[tau]
+        kff = k_scr[tau]
+        z_t = z_ref[0]
+        y_t = y_ref[0]
+        g_t = g_ref[0]
+        for a_idx, alpha in enumerate(ALPHAS):
+            p_a = p_scr[a_idx]
+            u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
+            J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
+                     + r * jnp.sum(u_a ** 2, axis=0)
+                     + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
+                     + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
+            nxt = _dyn_step(p_a, u_a, izd, dt, m)
+            J_scr[a_idx] = J_scr[a_idx] + J_add
+            p_scr[a_idx] = nxt
+            usout_ref[0, a_idx] = u_a
+            psout_ref[0, a_idx] = nxt
+        pterm = pterm_ref[0]
+        gterm = gterm_ref[0]
+        for a_idx in range(A):
+            p_h = p_scr[a_idx]
+            J_term = (q * jnp.sum((p_h - target) ** 2, axis=0)
+                      + qe * jnp.sum(gterm * (p_h - pterm), axis=0))
+            J_ref[a_idx] = jnp.where(t == 2 * H - 1,
+                                     J_scr[a_idx] + J_term, J_scr[a_idx])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",
+                                             "dt", "reg", "pack"))
+def unified_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,
+                  q: float, r: float, rho: float, qe: float, dt: float,
+                  reg: float = 1e-6, pack: bool = False):
+    """One-launch iLQR sweep: returns (ps_c, us_c, J) like forward_sweep."""
+    H = us.shape[0]
+    n, c = 2 * m, CONTROL_DIM
+    A = len(ALPHAS)
+    bs = _bshape(pack)
+    nb = int(np_prod(ps.shape[2:])) // int(np_prod(bs))
+    zt = (0,) * (len(bs) - 1)
+
+    def blk(*lead):
+        return tuple(lead) + bs
+
+    def t_both(b, t):
+        # backward phase streams time H-1-t; forward phase streams t-H
+        return (jnp.where(t < H, H - 1 - t, t - H), 0, b) + zt
+
+    def term(b, t):
+        return (H, 0, b) + zt
+
+    def const(b, t):
+        return (0, b) + zt
+
+    def outps(b, t):
+        return (jnp.where(t < H, 0, t - H + 1), 0, 0, b) + zt
+
+    def outus(b, t):
+        return (jnp.where(t < H, 0, t - H), 0, 0, b) + zt
+
+    def outJ(b, t):
+        return (0, b) + zt
+
+    sp = lambda s, fn: pl.BlockSpec(blk(1, s), fn, memory_space=pltpu.VMEM)
+    spc = lambda s: pl.BlockSpec(blk(s), const, memory_space=pltpu.VMEM)
+
+    ps_c, us_c, J = pl.pallas_call(
+        functools.partial(_unified_sweep_kernel, m=m, q=q, r=r, rho=rho,
+                          qe=qe, dt=dt, reg=reg, horizon=H),
+        grid=(nb, 2 * H),
+        in_specs=[
+            spc(n),                  # p0
+            sp(n, t_both),           # ps
+            sp(c, t_both),           # us
+            sp(c, t_both),           # z
+            sp(c, t_both),           # y
+            sp(n, t_both),           # g
+            sp(n, term),             # ps terminal
+            sp(n, term),             # g terminal
+            spc(n),                  # target
+            spc(m),                  # inv_depth
+        ],
+        out_specs=(
+            pl.BlockSpec(blk(1, A, n), outps, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(1, A, c), outus, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(A), outJ, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H + 1, A, n) + ps.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((H, A, c) + ps.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((A,) + ps.shape[2:], jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n,) + bs, jnp.float32),        # Vx
+            pltpu.VMEM((n, n) + bs, jnp.float32),      # Vxx
+            pltpu.VMEM((H, c, n) + bs, jnp.float32),   # gains K
+            pltpu.VMEM((H, c) + bs, jnp.float32),      # gains k
+            pltpu.VMEM((A, n) + bs, jnp.float32),      # candidate states
+            pltpu.VMEM((A,) + bs, jnp.float32),        # running costs
+        ],
+        interpret=interpret_mode(),
+    )(p0, ps, us, z, y, g, ps, g, target, inv_depth)
+    ps0 = jnp.broadcast_to(p0[None, None], (1, A, n) + ps.shape[2:])
+    ps_c = jnp.concatenate([ps0, ps_c[1:]], axis=0)
+    return ps_c, us_c, J
