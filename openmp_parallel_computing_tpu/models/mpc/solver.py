@@ -2,20 +2,27 @@
 
 Per BASELINE.json: Sobel edge-feature maps from the Pallas perception
 front-end feed stage costs; image-plane feature dynamics are rolled out
-under ``lax.scan``; the box-constrained QP is solved by an ADMM loop whose
-inner solve is an iLQR/Riccati sweep; scenario batches are vmapped per chip
-and sharded across the mesh's data axis (``parallel.mesh``), with solver
-diagnostics reduced via ``psum`` when run under ``shard_map``/pjit.
+over the horizon; the box-constrained QP is solved by an ADMM loop whose
+inner solve is an iLQR/Riccati sweep; scenario batches fill the chip and
+shard across the mesh's data axis (``models.mpc.distributed``), with solver
+diagnostics reduced via ``psum``.
 
 Solve structure (all fixed-iteration, jit-compilable, static shapes):
 
     ADMM outer (admm_iters):
         iLQR inner (ilqr_iters):
-            rollout -> linearize (vmap jacobians) -> autodiff cost
-            expansion (+ analytic ADMM augmentation) -> Riccati backward
-            -> line-searched gain forward
+            rollout -> closed-form linearization -> analytic cost
+            expansion (+ ADMM augmentation, Gauss-Newton edge term)
+            -> Riccati backward -> line-searched gain forward
         z = clip(us + y)   # projection onto the control box
         y = y + us - z     # dual ascent
+
+Three numerically equivalent backends (docs/DESIGN.md):
+  "sweep" (default)  whole-sweep fused Pallas kernels, batch-in-lanes
+                     (sublane-packed for >=8192 scenarios; one-launch
+                     unified backward+forward when scratch fits)
+  "fused"            fused Pallas Riccati backward, XLA elsewhere
+  "reference"        per-scenario vmapped XLA (audit/fallback)
 
 The whole perception->solve path compiles into ONE device computation
 (``control_step``): no host round-trip per frame, per the real-time budget.
