@@ -340,9 +340,10 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
 
     # One-launch unified sweep keeps the gains in VMEM scratch between the
     # backward and forward phases — use it whenever that scratch fits.
-    tilesz = int(np.prod(bshape[-2:])) if pack else bshape[-1]
+    # Scratch is per grid TILE (1024 scenarios packed, 128 unpacked), not
+    # per batch.
     gains_scratch = (h * cdim * (n + 1) + n * n + n
-                     + len(sp.ALPHAS) * (n + 1)) * tilesz * 4
+                     + len(sp.ALPHAS) * (n + 1)) * tile * 4
     use_unified = gains_scratch < 10 * 1024 * 1024
 
     def ilqr_once(carry):

@@ -130,14 +130,86 @@ def _tp(a, n: int):
     return jnp.concatenate([a[:, i, ...][None] for i in range(n)], axis=0)
 
 
+
+def _backward_step(p_t, u_t, z_t, y_t, g_t, izd, target, Vx, Vxx, *,
+                   m: int, q: float, r: float, rho: float, qe: float,
+                   dt: float, reg: float, eye_fn):
+    """One Riccati backward step on lane vectors: linearize, expand, solve.
+
+    Shared by the split backward kernel and the unified kernel — the single
+    source of truth for the recursion (backend equivalence depends on it).
+    Returns (K, kff, Vx_new, Vxx_new).
+    """
+    n, c = 2 * m, CONTROL_DIM
+    fx, fu = _build_fx_fu(p_t, u_t, izd, dt, m)
+    lx = 2.0 * q * (p_t - target) + qe * g_t
+    lu = 2.0 * r * u_t + rho * (u_t - z_t + y_t)
+    fxT = _tp(fx, n)
+    fuT = _tp(fu, c)
+    Vxx_fx = _mm(Vxx, fx, n)
+    Vxx_fu = _mm(Vxx, fu, n)
+    Qx = lx + _mv(fxT, Vx, n)
+    Qu = lu + _mv(fuT, Vx, n)
+    Qxx = 2.0 * q * eye_fn(n) + _mm(fxT, Vxx_fx, n)
+    Quu = (2.0 * r + rho + reg) * eye_fn(c) + _mm(fuT, Vxx_fu, n)
+    Qux = _mm(fuT, Vxx_fx, n)
+    rhs = jnp.concatenate([Qu[:, None, ...], Qux], axis=1)
+    sol = -_spd_solve_lanes(Quu, rhs, c)
+    kff = sol[:, 0, ...]
+    K = sol[:, 1:, ...]
+    KT = _tp(K, n)
+    QuxT = _tp(Qux, n)
+    Quu_kff = _mv(Quu, kff, c)
+    Vx_new = Qx + _mv(KT, Quu_kff, c) + _mv(KT, Qu, c) + _mv(QuxT, kff, c)
+    Quu_K = _mm(Quu, K, c)
+    Vxx_new = Qxx + _mm(KT, Quu_K, c) + _mm(KT, Qux, c) + _mm(QuxT, K, c)
+    Vxx_new = 0.5 * (Vxx_new + _tp(Vxx_new, n))
+    return K, kff, Vx_new, Vxx_new
+
+
+def _forward_step(t, K, kff, p_nom, u_nom, z_t, y_t, g_t, izd, target,
+                  pterm, gterm, psout_ref, usout_ref, J_ref, p_scr, J_scr,
+                  *, m: int, q: float, r: float, rho: float, qe: float,
+                  dt: float, last_t):
+    """One line-searched rollout step over the alpha candidates.
+
+    Shared by the split forward kernel and the unified kernel. Reads and
+    advances the candidate states/costs in scratch, writes the candidate
+    outputs, and finalizes J (with the terminal terms) at ``last_t``.
+    """
+    n = 2 * m
+    A = len(ALPHAS)
+    for a_idx, alpha in enumerate(ALPHAS):
+        p_a = p_scr[a_idx]
+        u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
+        # stage cost at (p_a, u_a): quad + ADMM + linearized edge term
+        J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
+                 + r * jnp.sum(u_a ** 2, axis=0)
+                 + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
+                 + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
+        nxt = _dyn_step(p_a, u_a, izd, dt, m)
+        J_scr[a_idx] = J_scr[a_idx] + J_add
+        p_scr[a_idx] = nxt
+        usout_ref[0, a_idx] = u_a
+        psout_ref[0, a_idx] = nxt
+    # The J output block is revisited every step; keep it defined by
+    # writing the running totals, finalized with the terminal terms at the
+    # last step.
+    for a_idx in range(A):
+        p_h = p_scr[a_idx]
+        J_term = (q * jnp.sum((p_h - target) ** 2, axis=0)
+                  + qe * jnp.sum(gterm * (p_h - pterm), axis=0))
+        J_ref[a_idx] = jnp.where(t == last_t,
+                                 J_scr[a_idx] + J_term, J_scr[a_idx])
+
+
 def _backward_sweep_kernel(ps_ref, us_ref, z_ref, y_ref, g_ref, pterm_ref,
                            gterm_ref, target_ref, izd_ref, K_ref, k_ref,
                            Vx_scr, Vxx_scr, *, m: int, q: float, r: float,
                            rho: float, qe: float, dt: float, reg: float):
-    n, c = 2 * m, CONTROL_DIM
+    n = 2 * m
     t = pl.program_id(1)
     target = target_ref[...]
-
     bdims = len(target_ref.shape) - 1  # number of trailing batch dims
 
     def _eye(k):
@@ -152,42 +224,10 @@ def _backward_sweep_kernel(ps_ref, us_ref, z_ref, y_ref, g_ref, pterm_ref,
             + qe * gterm_ref[0]
         Vxx_scr[...] = jnp.broadcast_to(2.0 * q * _eye(n), Vxx_scr.shape)
 
-    p_t = ps_ref[0]
-    u_t = us_ref[0]
-    fx, fu = _build_fx_fu(p_t, u_t, izd_ref[...], dt, m)
-
-    lx = 2.0 * q * (p_t - target) + qe * g_ref[0]
-    lu = 2.0 * r * u_t + rho * (u_t - z_ref[0] + y_ref[0])
-
-    Vx = Vx_scr[...]
-    Vxx = Vxx_scr[...]
-    fxT = _tp(fx, n)
-    fuT = _tp(fu, c)
-    Vxx_fx = _mm(Vxx, fx, n)
-    Vxx_fu = _mm(Vxx, fu, n)
-
-    eye_n = _eye(n)
-    eye_c = _eye(c)
-
-    Qx = lx + _mv(fxT, Vx, n)
-    Qu = lu + _mv(fuT, Vx, n)
-    Qxx = 2.0 * q * eye_n + _mm(fxT, Vxx_fx, n)
-    Quu = (2.0 * r + rho + reg) * eye_c + _mm(fuT, Vxx_fu, n)
-    Qux = _mm(fuT, Vxx_fx, n)
-
-    rhs = jnp.concatenate([Qu[:, None, ...], Qux], axis=1)
-    sol = -_spd_solve_lanes(Quu, rhs, c)
-    kff = sol[:, 0, ...]
-    K = sol[:, 1:, ...]
-
-    KT = _tp(K, n)
-    QuxT = _tp(Qux, n)
-    Quu_kff = _mv(Quu, kff, c)
-    Vx_new = Qx + _mv(KT, Quu_kff, c) + _mv(KT, Qu, c) + _mv(QuxT, kff, c)
-    Quu_K = _mm(Quu, K, c)
-    Vxx_new = Qxx + _mm(KT, Quu_K, c) + _mm(KT, Qux, c) + _mm(QuxT, K, c)
-    Vxx_new = 0.5 * (Vxx_new + _tp(Vxx_new, n))
-
+    K, kff, Vx_new, Vxx_new = _backward_step(
+        ps_ref[0], us_ref[0], z_ref[0], y_ref[0], g_ref[0], izd_ref[...],
+        target, Vx_scr[...], Vxx_scr[...], m=m, q=q, r=r, rho=rho, qe=qe,
+        dt=dt, reg=reg, eye_fn=_eye)
     Vx_scr[...] = Vx_new
     Vxx_scr[...] = Vxx_new
     K_ref[0] = K
@@ -199,11 +239,9 @@ def _forward_sweep_kernel(p0_ref, ps_ref, us_ref, K_ref, k_ref, z_ref,
                           izd_ref, psout_ref, usout_ref, J_ref,
                           p_scr, J_scr, *, m: int, q: float, r: float,
                           rho: float, qe: float, dt: float, horizon: int):
-    n, c = 2 * m, CONTROL_DIM
+    n = 2 * m
     A = len(ALPHAS)
     t = pl.program_id(1)
-    target = target_ref[...]
-    izd = izd_ref[...]
 
     @pl.when(t == 0)
     def _():
@@ -211,39 +249,11 @@ def _forward_sweep_kernel(p0_ref, ps_ref, us_ref, K_ref, k_ref, z_ref,
                                       (A,) + tuple(p0_ref.shape))
         J_scr[...] = jnp.zeros_like(J_scr)
 
-    p_nom = ps_ref[0]
-    u_nom = us_ref[0]
-    K = K_ref[0]
-    kff = k_ref[0]
-    z_t = z_ref[0]
-    y_t = y_ref[0]
-    g_t = g_ref[0]
-
-    for a_idx, alpha in enumerate(ALPHAS):
-        p_a = p_scr[a_idx]
-        u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
-        # stage cost at (p_a, u_a): quad + ADMM + linearized edge term
-        J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
-                 + r * jnp.sum(u_a ** 2, axis=0)
-                 + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
-                 + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
-        nxt = _dyn_step(p_a, u_a, izd, dt, m)
-        J_scr[a_idx] = J_scr[a_idx] + J_add
-        p_scr[a_idx] = nxt
-        usout_ref[0, a_idx] = u_a
-        psout_ref[0, a_idx] = nxt
-
-    # The J output block is revisited every step; keep it defined by
-    # writing the running totals, finalized with the terminal terms at the
-    # last step.
-    pterm = pterm_ref[0]
-    gterm = gterm_ref[0]
-    for a_idx in range(A):
-        p_h = p_scr[a_idx]
-        J_term = (q * jnp.sum((p_h - target) ** 2, axis=0)
-                  + qe * jnp.sum(gterm * (p_h - pterm), axis=0))
-        J_ref[a_idx] = jnp.where(t == horizon - 1,
-                                 J_scr[a_idx] + J_term, J_scr[a_idx])
+    _forward_step(t, K_ref[0], k_ref[0], ps_ref[0], us_ref[0], z_ref[0],
+                  y_ref[0], g_ref[0], izd_ref[...], target_ref[...],
+                  pterm_ref[0], gterm_ref[0], psout_ref, usout_ref, J_ref,
+                  p_scr, J_scr, m=m, q=q, r=r, rho=rho, qe=qe, dt=dt,
+                  last_t=horizon - 1)
 
 
 # Sublane packing: with pack=True the batch occupies BOTH the sublane and
@@ -432,7 +442,7 @@ def _unified_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
                           Vx_scr, Vxx_scr, K_scr, k_scr, p_scr, J_scr, *,
                           m: int, q: float, r: float, rho: float, qe: float,
                           dt: float, reg: float, horizon: int):
-    n, c = 2 * m, CONTROL_DIM
+    n = 2 * m
     A = len(ALPHAS)
     H = horizon
     t = pl.program_id(1)
@@ -455,35 +465,12 @@ def _unified_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
     @pl.when(t < H)
     def _backward():
         tau = H - 1 - t
-        p_t = ps_ref[0]
-        u_t = us_ref[0]
-        fx, fu = _build_fx_fu(p_t, u_t, izd, dt, m)
-        lx = 2.0 * q * (p_t - target) + qe * g_ref[0]
-        lu = 2.0 * r * u_t + rho * (u_t - z_ref[0] + y_ref[0])
-        Vx = Vx_scr[...]
-        Vxx = Vxx_scr[...]
-        fxT = _tp(fx, n)
-        fuT = _tp(fu, c)
-        Vxx_fx = _mm(Vxx, fx, n)
-        Vxx_fu = _mm(Vxx, fu, n)
-        Qx = lx + _mv(fxT, Vx, n)
-        Qu = lu + _mv(fuT, Vx, n)
-        Qxx = 2.0 * q * _eye(n) + _mm(fxT, Vxx_fx, n)
-        Quu = (2.0 * r + rho + reg) * _eye(c) + _mm(fuT, Vxx_fu, n)
-        Qux = _mm(fuT, Vxx_fx, n)
-        rhs = jnp.concatenate([Qu[:, None, ...], Qux], axis=1)
-        sol = -_spd_solve_lanes(Quu, rhs, c)
-        kff = sol[:, 0, ...]
-        K = sol[:, 1:, ...]
-        KT = _tp(K, n)
-        QuxT = _tp(Qux, n)
-        Quu_kff = _mv(Quu, kff, c)
-        Vx_scr[...] = (Qx + _mv(KT, Quu_kff, c) + _mv(KT, Qu, c)
-                       + _mv(QuxT, kff, c))
-        Quu_K = _mm(Quu, K, c)
-        Vxx_new = (Qxx + _mm(KT, Quu_K, c) + _mm(KT, Qux, c)
-                   + _mm(QuxT, K, c))
-        Vxx_scr[...] = 0.5 * (Vxx_new + _tp(Vxx_new, n))
+        K, kff, Vx_new, Vxx_new = _backward_step(
+            ps_ref[0], us_ref[0], z_ref[0], y_ref[0], g_ref[0], izd,
+            target, Vx_scr[...], Vxx_scr[...], m=m, q=q, r=r, rho=rho,
+            qe=qe, dt=dt, reg=reg, eye_fn=_eye)
+        Vx_scr[...] = Vx_new
+        Vxx_scr[...] = Vxx_new
         K_scr[pl.ds(tau, 1)] = K[None]
         k_scr[pl.ds(tau, 1)] = kff[None]
 
@@ -496,33 +483,11 @@ def _unified_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
     @pl.when(t >= H)
     def _forward():
         tau = t - H
-        p_nom = ps_ref[0]
-        u_nom = us_ref[0]
-        K = K_scr[tau]
-        kff = k_scr[tau]
-        z_t = z_ref[0]
-        y_t = y_ref[0]
-        g_t = g_ref[0]
-        for a_idx, alpha in enumerate(ALPHAS):
-            p_a = p_scr[a_idx]
-            u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
-            J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
-                     + r * jnp.sum(u_a ** 2, axis=0)
-                     + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
-                     + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
-            nxt = _dyn_step(p_a, u_a, izd, dt, m)
-            J_scr[a_idx] = J_scr[a_idx] + J_add
-            p_scr[a_idx] = nxt
-            usout_ref[0, a_idx] = u_a
-            psout_ref[0, a_idx] = nxt
-        pterm = pterm_ref[0]
-        gterm = gterm_ref[0]
-        for a_idx in range(A):
-            p_h = p_scr[a_idx]
-            J_term = (q * jnp.sum((p_h - target) ** 2, axis=0)
-                      + qe * jnp.sum(gterm * (p_h - pterm), axis=0))
-            J_ref[a_idx] = jnp.where(t == 2 * H - 1,
-                                     J_scr[a_idx] + J_term, J_scr[a_idx])
+        _forward_step(t, K_scr[tau], k_scr[tau], ps_ref[0], us_ref[0],
+                      z_ref[0], y_ref[0], g_ref[0], izd, target,
+                      pterm_ref[0], gterm_ref[0], psout_ref, usout_ref,
+                      J_ref, p_scr, J_scr, m=m, q=q, r=r, rho=rho, qe=qe,
+                      dt=dt, last_t=2 * H - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",

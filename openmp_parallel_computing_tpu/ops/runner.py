@@ -36,6 +36,10 @@ def make_runner(kernel: str, passes: int = 1, devices: int = 1):
     """
     if kernel not in _SINGLE:
         raise KeyError(f"unknown kernel {kernel!r}; one of {KERNEL_NAMES}")
+    # Clamp to the attached fleet: a job asking for more devices than exist
+    # (e.g. a dispatch message from a bigger deployment) degrades to what
+    # this host has instead of crashing the worker into a redelivery loop.
+    devices = min(devices, len(jax.devices()))
     if devices <= 1:
         base = _SINGLE[kernel]
         return jax.jit(lambda img: base(img, passes))

@@ -1,0 +1,104 @@
+"""Coverage for the sweep-kernel configurations CI would otherwise never
+reach: the sublane-packed layout and the split two-launch path (both engage
+only at batch/scratch sizes beyond normal test scale)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+from openmp_parallel_computing_tpu.models.mpc import sweep_pallas as sp
+from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+
+@pytest.fixture(scope="module")
+def edge_map():
+    rng = np.random.default_rng(23)
+    return jnp.asarray(rng.uniform(0, 255, (32, 128)), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return MPCConfig(horizon=4, num_features=2, ilqr_iters=2, admm_iters=2)
+
+
+def _solve(cfg, edge_map, scen):
+    mpc = VisualServoMPC(cfg)
+    return mpc.solve_batch(edge_map, scen)
+
+
+def test_packed_layout_matches_unpacked(cfg):
+    """Kernel-level equivalence of the sublane-packed layout (normally only
+    engaged at B >= 8192) against the lane-only layout, B = 2 packed
+    tiles."""
+    B, h, mfeat = 2048, cfg.horizon, cfg.num_features
+    n = 2 * mfeat
+    rng = np.random.default_rng(1)
+    kw = dict(m=mfeat, q=1.0, r=0.01, rho=0.1, qe=0.0, dt=1 / 30)
+    ps = jnp.asarray(rng.normal(size=(h + 1, n, B)) * 0.3, jnp.float32)
+    us = jnp.asarray(rng.normal(size=(h, 6, B)) * 0.2, jnp.float32)
+    z = jnp.clip(us, -1, 1)
+    y = jnp.zeros_like(us)
+    g = jnp.zeros((h + 1, n, B), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(n, B)) * 0.2, jnp.float32)
+    izd = jnp.asarray(rng.uniform(0.3, 1.0, (mfeat, B)), jnp.float32)
+    p0 = ps[0]
+
+    def packed(a):
+        return a.reshape(a.shape[:-1] + (B // sp.LANE, sp.LANE))
+
+    ps_c1, us_c1, J1 = sp.unified_sweep(p0, ps, us, z, y, g, target, izd,
+                                        pack=False, **kw)
+    ps_c2, us_c2, J2 = sp.unified_sweep(
+        packed(p0), packed(ps), packed(us), packed(z), packed(y), packed(g),
+        packed(target), packed(izd), pack=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(us_c2).reshape(us_c1.shape), np.asarray(us_c1),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(J2).reshape(J1.shape), np.asarray(J1),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_split_path_matches_unified(edge_map, cfg):
+    """backward_sweep + forward_sweep == unified_sweep (the split pair is
+    the fallback when the gains scratch exceeds VMEM)."""
+    B, h, mfeat = 128, cfg.horizon, cfg.num_features
+    n = 2 * mfeat
+    rng = np.random.default_rng(2)
+    kw = dict(m=mfeat, q=1.0, r=0.01, rho=0.1, qe=0.0, dt=1 / 30)
+    ps = jnp.asarray(rng.normal(size=(h + 1, n, B)) * 0.3, jnp.float32)
+    us = jnp.asarray(rng.normal(size=(h, 6, B)) * 0.2, jnp.float32)
+    z = jnp.clip(us, -1, 1)
+    y = jnp.zeros_like(us)
+    g = jnp.zeros((h + 1, n, B), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(n, B)) * 0.2, jnp.float32)
+    izd = jnp.asarray(rng.uniform(0.3, 1.0, (mfeat, B)), jnp.float32)
+    p0 = ps[0]
+
+    K, kff = sp.backward_sweep(ps, us, z, y, g, target, izd, **kw)
+    ps_s, us_s, J_s = sp.forward_sweep(p0, ps, us, K, kff, z, y, g, target,
+                                       izd, **kw)
+    ps_u, us_u, J_u = sp.unified_sweep(p0, ps, us, z, y, g, target, izd,
+                                       **kw)
+    np.testing.assert_allclose(np.asarray(us_s), np.asarray(us_u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ps_s), np.asarray(ps_u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(J_s), np.asarray(J_u),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_solver_multi_tile_batch(edge_map, cfg):
+    """Sweep solver across multiple lane tiles matches the fused backend
+    (kernel-level packed equivalence is covered above)."""
+    mpc_sweep = VisualServoMPC(dataclasses.replace(cfg, backend="sweep"))
+    mpc_ref = VisualServoMPC(dataclasses.replace(cfg, backend="fused"))
+    scen = mpc_sweep.random_scenarios(jax.random.PRNGKey(3), 384)  # 3 tiles
+    ss = mpc_sweep.solve_batch(edge_map, scen)
+    sr = mpc_ref.solve_batch(edge_map, scen)
+    np.testing.assert_allclose(np.asarray(ss.cost), np.asarray(sr.cost),
+                               rtol=1e-3, atol=1e-3)
