@@ -25,11 +25,6 @@ def cfg():
     return MPCConfig(horizon=4, num_features=2, ilqr_iters=2, admm_iters=2)
 
 
-def _solve(cfg, edge_map, scen):
-    mpc = VisualServoMPC(cfg)
-    return mpc.solve_batch(edge_map, scen)
-
-
 def test_packed_layout_matches_unpacked(cfg):
     """Kernel-level equivalence of the sublane-packed layout (normally only
     engaged at B >= 8192) against the lane-only layout, B = 2 packed
