@@ -61,8 +61,8 @@ def bench_kernel(image: str | Path | np.ndarray, workers=(1,), runs: int = 3,
     for w in workers:
         if w > n_dev:
             continue
-        img, _ = pad_rows(jnp.asarray(chw), w)
-        run = make_runner(kernel, passes, w)
+        img, orig_h = pad_rows(jnp.asarray(chw), w)
+        run = make_runner(kernel, passes, w, orig_h=orig_h)
         x = jax.device_put(img)
         sync(run(x))  # compile outside the timed region
 

@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     devices = max(1, min(args.devices, len(jax.devices())))
     chw, orig_h = pad_rows(jnp.asarray(np.transpose(hwc, (2, 0, 1))),
                            devices)
-    run = make_runner(args.kernel, passes, devices)
+    run = make_runner(args.kernel, passes, devices, orig_h=orig_h)
     sync(run(chw))  # compile outside the timed region (decode also excluded)
 
     t0 = time.perf_counter()

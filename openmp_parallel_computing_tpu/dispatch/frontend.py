@@ -20,10 +20,11 @@ import threading
 import urllib.parse
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import PurePosixPath
 
 from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
 from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
-from openmp_parallel_computing_tpu.serve.server import _parse_multipart
+from openmp_parallel_computing_tpu.serve.server import _parse_multipart_ex
 from openmp_parallel_computing_tpu.utils.config import DispatchConfig
 
 _PAGE = """<!doctype html>
@@ -167,16 +168,24 @@ def make_handler(state: FrontendState):
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
-            fields = _parse_multipart(self.headers.get("Content-Type", ""),
-                                      self.rfile.read(length))
+            fields, filenames = _parse_multipart_ex(
+                self.headers.get("Content-Type", ""),
+                self.rfile.read(length))
             image = fields.get("image")
             if not isinstance(image, bytes) or not image:
                 self.send_error(400, "missing image")
                 return
             threads = [int(t) for t in
                        str(fields.get("threads", "1")).split(",")]
+            # Preserve the client's filename in the object key, exactly
+            # like the reference's uploads/{uuid}_{filename}
+            # (event-driven/frontend/app.py:289) — concurrent jobs stay
+            # distinguishable in the store listing. Sanitize path parts.
+            upload_name = PurePosixPath(
+                str(filenames.get("image", "upload.bin"))
+                .replace("\\", "/")).name or "upload.bin"
             key = state.submit(
-                filename="upload.bin", data=image, threads=threads,
+                filename=upload_name, data=image, threads=threads,
                 repeat=int(fields.get("repeat", 1)),
                 passes=int(fields.get("passes", 1)),
                 kernel=str(fields.get("kernel", "grayscale")))

@@ -39,6 +39,12 @@ class DurableQueue:
         self.new.mkdir(parents=True, exist_ok=True)
         self.inflight.mkdir(parents=True, exist_ok=True)
         self.visibility_timeout_s = visibility_timeout_s
+        # Per-consumer claim index: names are timestamp-prefixed, so a
+        # sorted listing stays valid until drained — new messages are
+        # strictly newer than anything cached. Amortizes the full-backlog
+        # sort to once per len(backlog) claims instead of every poll.
+        self._claim_cache: list[str] = []
+        self._last_requeue_sweep = 0.0
 
     # -- producer ---------------------------------------------------------
 
@@ -52,7 +58,13 @@ class DurableQueue:
     # -- consumer ---------------------------------------------------------
 
     def _requeue_expired(self) -> None:
+        # Sweeping the whole inflight/ directory every poll is O(M) per
+        # consumer; expiry only matters at visibility_timeout granularity,
+        # so throttle the sweep to a quarter of the timeout.
         now = time.time()
+        if now - self._last_requeue_sweep < self.visibility_timeout_s / 4:
+            return
+        self._last_requeue_sweep = now
         for p in self.inflight.glob("*.json"):
             try:
                 if now - p.stat().st_mtime > self.visibility_timeout_s:
@@ -63,16 +75,24 @@ class DurableQueue:
     def claim(self) -> Job | None:
         """Claim the oldest message, or None if the queue is empty."""
         self._requeue_expired()
-        for p in sorted(self.new.glob("*.json")):
-            dst = self.inflight / p.name
+        while True:
+            if not self._claim_cache:
+                # Refresh the index (reverse-sorted so pop() is O(1) and
+                # takes the oldest). Redelivered messages keep their old
+                # timestamped names and are picked up here too.
+                self._claim_cache = sorted(
+                    (p.name for p in self.new.glob("*.json")), reverse=True)
+                if not self._claim_cache:
+                    return None
+            name = self._claim_cache.pop()
+            src, dst = self.new / name, self.inflight / name
             try:
-                os.replace(p, dst)
+                os.replace(src, dst)
                 os.utime(dst)  # visibility clock starts now
             except FileNotFoundError:
                 continue  # lost the race for this message
             body = json.loads(dst.read_text())
-            return Job(id=p.stem, body=body, _inflight_path=dst)
-        return None
+            return Job(id=src.stem, body=body, _inflight_path=dst)
 
     def ack(self, job: Job) -> None:
         try:

@@ -328,7 +328,11 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     def pick(J, cand, a_axis):
         """Select the argmin-J candidate per scenario via one-hot
         contraction. J (A, *bshape); cand has the A axis at ``a_axis`` and
-        the batch dims trailing."""
+        the batch dims trailing. Non-finite candidate costs are pushed to
+        +inf so a NaN line-search rollout can never win the argmin — the
+        alpha=0 (nominal) candidate is always finite and wins instead,
+        matching the fused/reference backends' strict J < j0 guard."""
+        J = jnp.where(jnp.isfinite(J), J, jnp.inf)
         onehot = (jax.lax.broadcasted_iota(
             jnp.int32, J.shape, 0) == jnp.argmin(J, axis=0)[None]
         ).astype(jnp.float32)                       # (A, *bshape)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from openmp_parallel_computing_tpu.models.mpc.dynamics import STATE_LIMIT
 from openmp_parallel_computing_tpu.models.mpc.riccati_pallas import (
     _mm,
     _mv,
@@ -112,9 +113,9 @@ def _dyn_step(p, u, inv_depth, dt: float, m: int):
             + y * wz)
     ydot = (-vy * iz + y * vz * iz + (1.0 + y * y) * wx - x * y * wy
             - x * wz)
-    # State trust region (dynamics.STATE_LIMIT) keeps diverging candidates
-    # finite — must match dynamics.step exactly.
-    lim = 4.0
+    # State trust region keeps diverging candidates finite — a static
+    # Python float, usable inside the kernel; must match dynamics.step.
+    lim = STATE_LIMIT
     nxt_x = jnp.clip(x + dt * xdot, -lim, lim)
     nxt_y = jnp.clip(y + dt * ydot, -lim, lim)
     # interleave back to (n, B)

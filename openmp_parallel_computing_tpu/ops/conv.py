@@ -119,13 +119,17 @@ def conv3x3(img: jax.Array, taps=xla_ref.GBLUR_KERNEL,
             interpret=interpret_mode(),
         )(v, v, v)
 
-    if passes == 1 or out_dtype != x.dtype:
-        # Unrolled host loop when in/out dtypes differ (e.g. u8 -> int32):
-        # each pass consumes the previous pass's accumulator dtype.
+    if passes == 1:
         out = one(x)
-        for _ in range(passes - 1):
-            out = one(out)
     else:
+        # Multi-pass repetition always runs as an on-device fori_loop (the
+        # reference's documented exemplar uses passes=1000 — unrolling
+        # would build a 1000-launch graph). When in/out dtypes differ
+        # (e.g. u8 input with an int32/f32 accumulator output), pre-cast
+        # the input once so every pass is out_dtype -> out_dtype; pass 1
+        # sees identical values either way.
+        if out_dtype != x.dtype:
+            x = x.astype(out_dtype)
         out = jax.lax.fori_loop(0, passes, lambda _, v: one(v), x)
     return crop2d(out, h, w)
 

@@ -27,12 +27,14 @@ _SINGLE = {
 
 
 @functools.lru_cache(maxsize=64)
-def make_runner(kernel: str, passes: int = 1, devices: int = 1):
+def make_runner(kernel: str, passes: int = 1, devices: int = 1,
+                orig_h: int | None = None):
     """Jitted ``run(img_chw_u8) -> img_chw_u8`` for a kernel.
 
     With ``devices > 1`` the frame's rows are sharded over a 1 x devices
-    mesh (pad the height to a multiple of ``devices`` first — see
-    ``pad_rows``). Cached per (kernel, passes, devices).
+    mesh; pad the height to a multiple of ``devices`` first (``pad_rows``)
+    and pass the unpadded height as ``orig_h`` so border zeroing lands on
+    the true image border. Cached per (kernel, passes, devices, orig_h).
     """
     if kernel not in _SINGLE:
         raise KeyError(f"unknown kernel {kernel!r}; one of {KERNEL_NAMES}")
@@ -57,7 +59,7 @@ def make_runner(kernel: str, passes: int = 1, devices: int = 1):
     @jax.jit
     def run(img):
         return jax.lax.fori_loop(
-            0, passes, lambda _, x: sharded(x, mesh), img)
+            0, passes, lambda _, x: sharded(x, mesh, orig_h=orig_h), img)
 
     return run
 

@@ -77,8 +77,13 @@ def initialize_multihost(coordinator: str | None = None,
     coordinator = coordinator or os.environ.get("OMPC_COORDINATOR")
     if coordinator is None:
         return
+    # `x if x is not None else ...`, NOT `x or ...`: process_id=0 is valid.
+    if num_processes is None:
+        num_processes = int(os.environ["OMPC_NUM_PROCESSES"])
+    if process_id is None:
+        process_id = int(os.environ["OMPC_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(os.environ["OMPC_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["OMPC_PROCESS_ID"]),
+        num_processes=num_processes,
+        process_id=process_id,
     )

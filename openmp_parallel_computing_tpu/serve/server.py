@@ -43,6 +43,14 @@ from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
 
 _warmed: set[tuple] = set()
 
+# Compile-churn guards: on the single relayed TPU a first compile takes
+# minutes, so arbitrary unauthenticated form values must not be able to
+# serialize the server into back-to-back compiles. Every knob that keys a
+# jit cache entry is clamped to a small allowlist; anything else is a 400.
+ALLOWED_HORIZONS = (5, 10, 20, 50)
+MAX_FEATURES = 16
+MAX_PASSES = 100
+
 
 def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
                   devices: int, warm: bool = True
@@ -51,7 +59,7 @@ def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
     chw, orig_h = pad_rows(jnp.asarray(np.transpose(data_hwc, (2, 0, 1))),
                            devices)
     key = (kernel, chw.shape, passes, devices)
-    run = make_runner(kernel, passes, devices)
+    run = make_runner(kernel, passes, devices, orig_h=orig_h)
     if warm and key not in _warmed:
         _ = np.asarray(run(chw))  # keep compile out of X-Compute
         _warmed.add(key)
@@ -62,22 +70,37 @@ def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
     return np.transpose(out, (1, 2, 0)), compute_s
 
 
-def _parse_multipart(content_type: str, body: bytes):
-    """Parse a multipart/form-data body into {field: bytes_or_str}."""
+def _parse_multipart_ex(content_type: str, body: bytes):
+    """Parse a multipart/form-data body.
+
+    Returns ``(fields, filenames)``: text parts decoded to str, file parts
+    kept as bytes, with each file part's original client filename in
+    ``filenames[name]`` (the reference keys stored objects by it,
+    ``event-driven/frontend/app.py:289``).
+    """
     parser = email.parser.BytesParser(policy=email.policy.HTTP)
     msg = parser.parsebytes(
         b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body)
     fields: dict[str, bytes | str] = {}
+    filenames: dict[str, str] = {}
     for part in msg.iter_parts():
         name = part.get_param("name", header="content-disposition")
         if name is None:
             continue
         payload = part.get_payload(decode=True)
-        if part.get_filename() is None and payload is not None:
+        filename = part.get_filename()
+        if filename is None and payload is not None:
             fields[name] = payload.decode(errors="replace").strip()
         else:
             fields[name] = payload or b""
-    return fields
+            if filename:
+                filenames[name] = filename
+    return fields, filenames
+
+
+def _parse_multipart(content_type: str, body: bytes):
+    """Parse a multipart/form-data body into {field: bytes_or_str}."""
+    return _parse_multipart_ex(content_type, body)[0]
 
 
 @functools.lru_cache(maxsize=4)
@@ -107,7 +130,11 @@ def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
     target = parse("target")
     depth = parse("depth")
     horizon = int(fields.get("horizon", 20))
+    if horizon not in ALLOWED_HORIZONS:
+        raise ValueError(f"horizon must be one of {ALLOWED_HORIZONS}")
     m = depth.size
+    if not 1 <= m <= MAX_FEATURES:
+        raise ValueError(f"need 1..{MAX_FEATURES} features")
     if p0.size != 2 * m or target.size != 2 * m:
         raise ValueError("p0/target must have 2*len(depth) entries")
     mpc = _mpc_engine(horizon, m)
@@ -172,6 +199,9 @@ class Handler(BaseHTTPRequestHandler):
                 self.send_error(400, "missing multipart field 'image'")
                 return
             passes = max(1, int(fields.get("passes", 1)))
+            if passes > MAX_PASSES:
+                self.send_error(400, f"passes > {MAX_PASSES}")
+                return
             devices = max(1, min(int(fields.get("threads", 1)),
                                  len(jax.devices())))
             with tempfile.TemporaryDirectory() as td:

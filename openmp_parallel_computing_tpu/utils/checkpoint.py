@@ -28,8 +28,13 @@ import numpy as np
 
 
 def save(path: str | os.PathLike, tree) -> None:
-    """Atomically write a pytree of arrays/scalars to ``path`` (.npz)."""
-    leaves, treedef = jax.tree.flatten(tree)
+    """Atomically write a pytree of arrays/scalars to ``path`` (.npz).
+
+    Handles ``None`` subtrees (restored as ``None``) and typed PRNG keys
+    (persisted via ``jax.random.key_data`` and re-wrapped on restore).
+    """
+    leaves: list = []
+    spec = _treedef_to_spec(tree, leaves)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -37,7 +42,7 @@ def save(path: str | os.PathLike, tree) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, __treedef__=np.frombuffer(
-                json.dumps(_treedef_to_spec(tree)).encode(), dtype=np.uint8),
+                json.dumps(spec).encode(), dtype=np.uint8),
                 **arrays)
         os.replace(tmp, path)
     except BaseException:
@@ -63,34 +68,64 @@ def latest(directory: str | os.PathLike, prefix: str = "ckpt_"):
     return paths[-1] if paths else None
 
 
-# -- minimal JSON-able pytree spec (dict/list/tuple/leaf) -------------------
+# -- minimal JSON-able pytree spec (dict/list/tuple/leaf/none/key) ----------
 
-def _treedef_to_spec(tree):
+def _is_typed_key(x) -> bool:
+    return (isinstance(x, jax.Array)
+            and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key))
+
+
+def _treedef_to_spec(tree, leaves: list):
+    """Build the JSON spec while collecting leaf arrays into ``leaves``.
+
+    ``None`` emits a spec node that consumes no leaf slot; typed PRNG keys
+    are stored as their raw key data plus the impl name.
+    """
+    if tree is None:
+        return {"t": "none"}
     if isinstance(tree, dict):
-        keys = sorted(tree.keys())  # jax.tree flattens dicts in sorted order
+        keys = sorted(tree.keys())
         return {"t": "dict", "k": keys,
-                "c": [_treedef_to_spec(tree[k]) for k in keys]}
+                "c": [_treedef_to_spec(tree[k], leaves) for k in keys]}
     if isinstance(tree, (list, tuple)):
         kind = "list" if isinstance(tree, list) else "tuple"
         if hasattr(tree, "_fields"):  # NamedTuple
             return {"t": "dict", "k": list(tree._fields),
-                    "c": [_treedef_to_spec(v) for v in tree]}
-        return {"t": kind, "c": [_treedef_to_spec(v) for v in tree]}
+                    "c": [_treedef_to_spec(v, leaves) for v in tree]}
+        return {"t": kind,
+                "c": [_treedef_to_spec(v, leaves) for v in tree]}
+    if _is_typed_key(tree):
+        leaves.append(jax.random.key_data(tree))
+        return {"t": "key", "impl": str(jax.random.key_impl(tree))}
+    leaves.append(tree)
     return {"t": "leaf"}
 
 
 def _count_leaves(spec) -> int:
-    if spec["t"] == "leaf":
+    if spec["t"] in ("leaf", "key"):
         return 1
+    if spec["t"] == "none":
+        return 0
     return sum(_count_leaves(c) for c in spec["c"])
 
 
 def _rebuild(spec, leaves):
     if spec["t"] == "leaf":
         return next(leaves)
+    if spec["t"] == "key":
+        return jax.random.wrap_key_data(jnp_asarray(next(leaves)),
+                                        impl=spec["impl"])
+    if spec["t"] == "none":
+        return None
     children = [_rebuild(c, leaves) for c in spec["c"]]
     if spec["t"] == "dict":
         return dict(zip(spec["k"], children))
     if spec["t"] == "tuple":
         return tuple(children)
     return children
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)

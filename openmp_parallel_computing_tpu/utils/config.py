@@ -32,8 +32,12 @@ class MPCConfig:
     horizon: int = 20                 # H
     num_features: int = 8             # tracked image-plane feature points
     scenarios: int = 256              # rollout batch per solve
-    ilqr_iters: int = 5               # outer linearize/solve sweeps
-    admm_iters: int = 10              # constraint-projection iterations
+    # Iteration budget: 3x5 is the measured quality plateau (the budget
+    # study in docs/DESIGN.md — more sweeps change the solution < solver
+    # tolerance). The headline bench (bench.py) runs exactly these
+    # defaults so the published number is the shipped configuration.
+    ilqr_iters: int = 3               # outer linearize/solve sweeps
+    admm_iters: int = 5               # constraint-projection iterations
     dt: float = 1.0 / 30.0
     u_limit: float = 1.0              # control box |u| <= u_limit
     q_track: float = 1.0              # feature tracking weight

@@ -68,6 +68,31 @@ class TestCheckpoint:
         checkpoint.save(tmp_path / "ckpt_002.npz", {"a": np.ones(1)})
         assert checkpoint.latest(tmp_path).name == "ckpt_002.npz"
 
+    def test_none_subtrees(self, tmp_path):
+        """None leaves consume no leaf slot and restore as None (jax.tree
+        drops them from flatten; the spec must not count them)."""
+        state = {"a": np.ones(2), "b": None, "c": [None, np.zeros(3), None]}
+        p = tmp_path / "ckpt_n.npz"
+        checkpoint.save(p, state)
+        back = checkpoint.restore(p)
+        assert back["b"] is None
+        assert back["c"][0] is None and back["c"][2] is None
+        np.testing.assert_array_equal(back["a"], state["a"])
+        np.testing.assert_array_equal(back["c"][1], state["c"][1])
+
+    def test_typed_prng_key(self, tmp_path):
+        import jax
+
+        key = jax.random.key(42)
+        state = {"rng": key, "none": None, "x": np.ones(1)}
+        p = tmp_path / "ckpt_k.npz"
+        checkpoint.save(p, state)
+        back = checkpoint.restore(p)
+        # Restored key reproduces the same random stream.
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.uniform(back["rng"], (4,))),
+            np.asarray(jax.random.uniform(key, (4,))))
+
     def test_solver_warm_start_resume(self, tmp_path):
         """A restarted controller resumes from checkpointed controls."""
         import jax.numpy as jnp

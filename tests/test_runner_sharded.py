@@ -34,6 +34,19 @@ class TestRunner:
         np.testing.assert_array_equal(np.asarray(run4(img)),
                                       np.asarray(run1(img)))
 
+    @pytest.mark.parametrize("kernel", ["grayscale", "edge", "blur"])
+    def test_sharded_nondivisible_height(self, kernel, img):
+        """threads=N parity when the image height is NOT a device multiple:
+        the padded+sharded+cropped result must match threads=1 pixel-exact,
+        including the true last image row (border zeroing / multi-pass pad
+        contamination). passes=2 exercises the pad-feedback path."""
+        crop = img[:, :30]  # 30 rows, not divisible by 4
+        padded, orig_h = pad_rows(crop, 4)
+        run1 = make_runner(kernel, passes=2, devices=1)
+        run4 = make_runner(kernel, passes=2, devices=4, orig_h=orig_h)
+        got = np.asarray(run4(padded))[:, :orig_h]
+        np.testing.assert_array_equal(got, np.asarray(run1(crop)))
+
     def test_unknown_kernel_raises(self):
         with pytest.raises(KeyError):
             make_runner("nope")

@@ -197,6 +197,9 @@ class TestEndToEndDispatch:
             key = json.loads(
                 resp.text.split("const key = ")[1].split(";")[0])
             assert key.startswith("uploads/")
+            # Original client filename preserved in the object key
+            # (reference: uploads/{uuid}_{filename}).
+            assert key.endswith("_in.png")
 
             r = requests.get(f"http://127.0.0.1:{port}/status",
                              params={"key": key})
