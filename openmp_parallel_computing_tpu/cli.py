@@ -25,7 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from openmp_parallel_computing_tpu import imgio
-from openmp_parallel_computing_tpu.ops.runner import make_runner, pad_rows
+from openmp_parallel_computing_tpu.ops.runner import (
+    kernel_names,
+    make_runner,
+    pad_rows,
+)
 from openmp_parallel_computing_tpu.utils.timing import sync
 
 _LABELS = {
@@ -43,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("output")
     ap.add_argument("passes", nargs="?", type=int, default=1)
     ap.add_argument("--kernel", default="grayscale",
-                    choices=["grayscale", "edge", "blur"])
+                    choices=list(kernel_names()))
     ap.add_argument("--devices", type=int, default=1)
     args = ap.parse_args(argv)
     passes = max(1, args.passes)
@@ -64,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     out = run(chw)
     sync(out)
     secs = time.perf_counter() - t0
-    print(f"{_LABELS[args.kernel]} ×{passes}: {secs:.4f} s")
+    label = _LABELS.get(args.kernel, f"Compute kernel ({args.kernel})")
+    print(f"{label} ×{passes}: {secs:.4f} s")
 
     out_hwc = np.transpose(np.asarray(out)[:, :orig_h, :], (1, 2, 0))
     try:

@@ -39,9 +39,7 @@ _PAGE = """<!doctype html>
 <form method="post" enctype="multipart/form-data">
  <fieldset><legend>Job</legend>
   <input type="file" name="image" required>
-  <label>kernel <select name="kernel">
-    <option>grayscale</option><option>edge</option><option>blur</option>
-  </select></label>
+  <label>kernel <select name="kernel">{kernel_options}</select></label>
   <label>devices <input name="threads" value="{threads}" size="8"></label>
   <label>repeat <input name="repeat" value="{repeat}" size="4"></label>
   <label>passes <input name="passes" value="{passes}" size="4"></label>
@@ -76,6 +74,16 @@ async function poll() {{
 poll();
 </script></body></html>
 """
+
+
+def _kernel_options() -> str:
+    """The kernel <select> options, generated from the plug-in registry so
+    a register_kernel() call surfaces in the UI without editing this file
+    (the reference requires a frontend action per new algorithm,
+    event-driven/README.md:97-105)."""
+    from openmp_parallel_computing_tpu.ops.runner import kernel_names
+
+    return "".join(f"<option>{n}</option>" for n in kernel_names())
 
 
 class FrontendState:
@@ -150,7 +158,8 @@ def make_handler(state: FrontendState):
             url = urllib.parse.urlparse(self.path)
             if url.path == "/":
                 page = _PAGE.format(threads="1", repeat="1", passes="1",
-                                    key_json="null")
+                                    key_json="null",
+                                    kernel_options=_kernel_options())
                 self._send(200, page.encode(), "text/html")
             elif url.path == "/status":
                 q = urllib.parse.parse_qs(url.query)
@@ -193,7 +202,8 @@ def make_handler(state: FrontendState):
                 threads=",".join(map(str, threads)),
                 repeat=fields.get("repeat", "1"),
                 passes=fields.get("passes", "1"),
-                key_json=json.dumps(key))
+                key_json=json.dumps(key),
+                kernel_options=_kernel_options())
             self._send(200, page.encode(), "text/html")
 
         def log_message(self, fmt, *args):

@@ -14,3 +14,11 @@ from openmp_parallel_computing_tpu.ops.xla_ref import (  # noqa: F401
     chw_to_hwc,
     hwc_to_chw,
 )
+from openmp_parallel_computing_tpu.ops.runner import (  # noqa: F401,E402
+    # imported last: runner's built-in registration needs the ops above
+    KernelSpec,
+    kernel_names,
+    make_runner,
+    register_kernel,
+    unregister_kernel,
+)

@@ -34,7 +34,7 @@ import numpy as np
 
 from openmp_parallel_computing_tpu import imgio
 from openmp_parallel_computing_tpu.ops.runner import (
-    KERNEL_NAMES,
+    kernel_names,
     make_runner,
     pad_rows,
 )
@@ -185,7 +185,7 @@ class Handler(BaseHTTPRequestHandler):
         if kernel == "control":
             self._do_control()
             return
-        if kernel not in KERNEL_NAMES:
+        if kernel not in kernel_names():
             self.send_error(404, f"unknown kernel {kernel!r}")
             return
         t_start = time.perf_counter()
