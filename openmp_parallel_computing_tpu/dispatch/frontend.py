@@ -122,6 +122,26 @@ class FrontendState:
         })
         return key
 
+    def submit_mpc(self, scen_npz: bytes, config: dict, devices: int = 1,
+                   frame: bytes | None = None, frame_name: str = "frame.png",
+                   chunk: int | None = None, repeat: int = 1) -> str:
+        """Publish an MPC scenario-batch job (the flagship compute routed
+        through the async tier, like the reference routes its kernel
+        through the queue worker). Returns the scenario key to poll."""
+        uid = uuid.uuid4()
+        key = f"uploads/{uid}_scen.npz"
+        self.store.put(key, scen_npz)
+        body = {"type": "mpc", "scenario_key": key, "config": config,
+                "devices": devices, "repeat": repeat}
+        if frame is not None:
+            frame_key = f"uploads/{uid}_{frame_name}"
+            self.store.put(frame_key, frame)
+            body["frame_key"] = frame_key
+        if chunk is not None:
+            body["chunk"] = chunk
+        self.jobs.publish(body)
+        return key
+
     def status(self, key: str) -> dict:
         with self._lock:
             body = self.processed.get(key)
@@ -176,10 +196,14 @@ def make_handler(state: FrontendState):
                 self.send_error(404)
 
         def do_POST(self):
+            url = urllib.parse.urlparse(self.path)
             length = int(self.headers.get("Content-Length", 0))
             fields, filenames = _parse_multipart_ex(
                 self.headers.get("Content-Type", ""),
                 self.rfile.read(length))
+            if url.path == "/mpc":
+                self._post_mpc(fields, filenames)
+                return
             image = fields.get("image")
             if not isinstance(image, bytes) or not image:
                 self.send_error(400, "missing image")
@@ -205,6 +229,36 @@ def make_handler(state: FrontendState):
                 key_json=json.dumps(key),
                 kernel_options=_kernel_options())
             self._send(200, page.encode(), "text/html")
+
+        def _post_mpc(self, fields, filenames):
+            """POST /mpc: multipart 'scenarios' (npz with p0/target/depth
+            [/us0]) + optional 'frame' image + form fields (horizon,
+            num_features, devices, chunk, repeat). Returns JSON with the
+            scenario key to poll on /status."""
+            scen = fields.get("scenarios")
+            if not isinstance(scen, bytes) or not scen:
+                self.send_error(400, "missing multipart field 'scenarios'")
+                return
+            config = {}
+            for name in ("horizon", "num_features", "ilqr_iters",
+                         "admm_iters", "scenarios_n"):
+                if name in fields and name != "scenarios_n":
+                    config[name] = int(str(fields[name]))
+            frame = fields.get("frame")
+            try:
+                key = state.submit_mpc(
+                    scen, config,
+                    devices=int(str(fields.get("devices", 1))),
+                    frame=frame if isinstance(frame, bytes) and frame
+                    else None,
+                    chunk=int(str(fields["chunk"]))
+                    if "chunk" in fields else None,
+                    repeat=int(str(fields.get("repeat", 1))))
+            except (ValueError, KeyError) as exc:
+                self.send_error(400, str(exc))
+                return
+            self._send(200, json.dumps({"key": key}).encode(),
+                       "application/json")
 
         def log_message(self, fmt, *args):
             pass

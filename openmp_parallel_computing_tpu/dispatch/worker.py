@@ -10,10 +10,30 @@ message ``{image_key, processed_key, times, passes}`` on
 
 The thread-count sweep becomes a device-count sweep; compute runs
 device-resident through the jit cache (no subprocess per job).
+
+Beyond the reference, the worker also serves the framework's FLAGSHIP
+compute as an async job type — the reference routes its flagship (the
+grayscale kernel) through this very tier, so the MPC engine must flow
+through it too (SURVEY §7: the dispatch tier "realized as a pod-sharded
+scenario dispatcher"). An MPC job message is::
+
+    {"type": "mpc", "scenario_key": "uploads/<uuid>_scen.npz",
+     "frame_key": "uploads/<uuid>_frame.png",      # optional camera frame
+     "config": {"horizon": 20, ...},               # MPCConfig overrides
+     "devices": 1, "chunk": 4096, "repeat": 1}
+
+Scenario arrays travel through the object store (npz with p0/target/depth
+and optional us0); the solve runs ``DistributedMPC`` over the local mesh in
+``chunk``-sized scenario slices, checkpointing partial results through
+``utils.checkpoint`` after every chunk so a redelivered job resumes instead
+of recomputing; results land in the store as
+``processed/<basename>_result.npz`` (u0 / costs / primal_residual) and the
+completion message carries ``{costs, u0_key, times}``.
 """
 
 from __future__ import annotations
 
+import io
 import tempfile
 import time
 from pathlib import Path
@@ -24,6 +44,7 @@ from openmp_parallel_computing_tpu import imgio
 from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
 from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
 from openmp_parallel_computing_tpu.serve.server import process_image
+from openmp_parallel_computing_tpu.utils import checkpoint
 from openmp_parallel_computing_tpu.utils.config import DispatchConfig
 from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
 
@@ -36,8 +57,11 @@ class Worker:
                                  self.cfg.visibility_timeout_s)
         self.done = DurableQueue(self.cfg.root,
                                  f"{self.cfg.queue}_processed")
+        self._mpc_cache: dict = {}
 
     def process(self, body: dict) -> dict:
+        if body.get("type") == "mpc":
+            return self.process_mpc(body)
         image_key = body["image_key"]
         devices = body.get("threads", [1])
         if isinstance(devices, int):
@@ -86,6 +110,148 @@ class Worker:
                        _json.dumps(completion).encode())
         self.done.publish(completion)   # publish BEFORE the ack (queue
         metrics.inc("worker.jobs")      # consume() acks after we return)
+        return completion
+
+    # -- MPC scenario-batch jobs -------------------------------------------
+
+    def _mpc_engine(self, cfg_dict: dict, devices: int):
+        """Build (and cache) a DistributedMPC over a local 1-D data mesh."""
+        import jax
+
+        from openmp_parallel_computing_tpu import parallel
+        from openmp_parallel_computing_tpu.models.mpc import DistributedMPC
+        from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+        import dataclasses
+
+        allowed = {f.name for f in dataclasses.fields(MPCConfig)}
+        cfg = MPCConfig(**{k: v for k, v in cfg_dict.items()
+                           if k in allowed})
+        devices = max(1, min(devices, len(jax.devices())))
+        key = (tuple(sorted(dataclasses.asdict(cfg).items())), devices)
+        if key not in self._mpc_cache:
+            mesh = parallel.make_mesh(data=devices, model=1,
+                                      devices=jax.devices()[:devices])
+            self._mpc_cache[key] = (DistributedMPC(cfg, mesh), cfg, devices)
+        return self._mpc_cache[key]
+
+    def _load_scenario(self, key: str):
+        from openmp_parallel_computing_tpu.models.mpc import Scenario
+
+        data = np.load(io.BytesIO(self.store.get(key)))
+        p0 = np.asarray(data["p0"], np.float32)
+        target = np.asarray(data["target"], np.float32)
+        depth = np.asarray(data["depth"], np.float32)
+        if "us0" in data:
+            us0 = np.asarray(data["us0"], np.float32)
+        else:
+            us0 = None  # filled once the horizon is known
+        return Scenario(p0=p0, target=target, depth=depth, us0=us0)
+
+    def process_mpc(self, body: dict) -> dict:
+        """Solve a scenario batch through the pod-sharded MPC engine.
+
+        Chunked + checkpointed: after each chunk the partial results are
+        snapshotted via ``utils.checkpoint`` under the dispatch root, so an
+        at-least-once redelivery (worker death mid-job) resumes from the
+        last completed chunk — the durability the reference's volatile
+        worker lacks entirely.
+        """
+        from openmp_parallel_computing_tpu.models.mpc import Scenario
+
+        scenario_key = body["scenario_key"]
+        devices_req = int(body.get("devices", 1))
+        repeat = max(1, int(body.get("repeat", 1)))
+        dmpc, cfg, devices = self._mpc_engine(body.get("config", {}),
+                                              devices_req)
+
+        scen = self._load_scenario(scenario_key)
+        B = scen.p0.shape[0]
+        if scen.us0 is None:
+            scen = scen._replace(
+                us0=np.zeros((B, cfg.horizon, 6), np.float32))
+
+        if body.get("frame_key"):
+            with tempfile.TemporaryDirectory() as td:
+                src = Path(td) / Path(body["frame_key"]).name
+                with open(src, "wb") as f:
+                    for chunk in self.store.get_stream(body["frame_key"]):
+                        f.write(chunk)
+                frame = np.transpose(imgio.load(src), (2, 0, 1))
+        else:  # featureless frame: edge term sees a flat field
+            frame = np.full((3, 64, 128), 128, np.uint8)
+
+        chunk = int(body.get("chunk", B))
+        chunk = max(devices, min(chunk - chunk % devices or devices, B))
+        n_chunks = -(-B // chunk)
+
+        base = Path(scenario_key).name
+        ckpt_dir = Path(self.cfg.root) / "checkpoints"
+        ckpt_path = ckpt_dir / f"mpc_{base}.npz"
+        u0 = np.zeros((B, 6), np.float32)
+        costs = np.zeros(B, np.float32)
+        res = np.zeros(B, np.float32)
+        done = 0
+        if ckpt_path.is_file():  # redelivered job: resume
+            state = checkpoint.restore(ckpt_path)
+            if int(state["chunk"]) == chunk:
+                u0, costs, res = (np.array(state["u0"]),
+                                  np.array(state["costs"]),
+                                  np.array(state["res"]))
+                done = int(state["done"])
+                metrics.inc("worker.mpc_resumed")
+
+        t_total = 0.0
+        for ci in range(done, n_chunks):
+            lo = ci * chunk
+            hi = min(lo + chunk, B)
+            # Pad a ragged tail up to a device multiple by repeating the
+            # last scenario; padded results are discarded.
+            take = hi - lo
+            pad = (-take) % devices
+            idx = np.concatenate([np.arange(lo, hi),
+                                  np.full(pad, hi - 1, np.int64)])
+            part = Scenario(*(np.asarray(a)[idx] for a in scen))
+            t0 = time.perf_counter()
+            for _ in range(repeat):
+                cu0, ccost, cres = dmpc.solve_full(frame, part)
+            cu0, ccost, cres = (np.asarray(cu0), np.asarray(ccost),
+                                np.asarray(cres))
+            t_total += (time.perf_counter() - t0) / repeat
+            u0[lo:hi] = cu0[:take]
+            costs[lo:hi] = ccost[:take]
+            res[lo:hi] = cres[:take]
+            done = ci + 1
+            if n_chunks > 1:  # long job: snapshot progress
+                checkpoint.save(ckpt_path, {
+                    "chunk": np.int64(chunk), "done": np.int64(done),
+                    "u0": u0, "costs": costs, "res": res})
+
+        if not np.all(np.isfinite(costs)):
+            raise RuntimeError("non-finite MPC costs; job failed")
+
+        out = io.BytesIO()
+        np.savez(out, u0=u0, costs=costs, primal_residual=res)
+        u0_key = f"processed/{base}_result.npz"
+        self.store.put(u0_key, out.getvalue())
+        completion = {
+            "scenario_key": scenario_key,
+            "image_key": scenario_key,   # status-poll contract key
+            "processed_key": u0_key,
+            "u0_key": u0_key,
+            "costs": {"mean": float(costs.mean()),
+                      "max_primal_residual": float(res.max())},
+            "scenarios": int(B),
+            "times": {str(devices): t_total},
+        }
+        import json as _json
+
+        self.store.put(f"status/{base}.json",
+                       _json.dumps(completion).encode())
+        self.done.publish(completion)  # publish BEFORE ack (at-least-once)
+        if ckpt_path.is_file():
+            ckpt_path.unlink()  # job complete; drop the resume snapshot
+        metrics.inc("worker.mpc_jobs")
         return completion
 
     def run(self, stop_when_empty: bool = False) -> None:

@@ -46,8 +46,9 @@ class DistributedMPC:
         self.cfg = cfg
         self.mesh = mesh
         self._step = self._build()
+        self._step_full = None  # built lazily (solve_full)
 
-    def _build(self):
+    def _build(self, full: bool = False):
         cfg = self.cfg
         mesh = self.mesh
         n_model = mesh.shape[MODEL]
@@ -81,6 +82,11 @@ class DistributedMPC:
                 sol = jax.vmap(lambda s: _solver._solve_single(
                     pyramid, edge.shape, s, cfg))(scen_local)
 
+            if full:
+                # Per-scenario results for the dispatch tier: first
+                # controls, final costs, primal residuals — all sharded
+                # like the scenario batch (no reduction).
+                return sol.us[:, 0], sol.cost, sol.primal_residual
             # Mesh-wide diagnostics — the ADMM QP's only global reduction.
             mean_cost = jax.lax.pmean(jnp.mean(sol.cost), (DATA, MODEL))
             max_res = jax.lax.pmax(jnp.max(sol.primal_residual),
@@ -88,12 +94,15 @@ class DistributedMPC:
             return sol.us[:, 0], mean_cost, max_res
 
         frame_spec = P(None, MODEL, None) if n_model > 1 else P()
+        batch = P((DATA, MODEL))
+        out_specs = ((batch, batch, batch) if full
+                     else (batch, P(), P()))
         f = jax.shard_map(
             local, mesh=mesh,
             in_specs=(frame_spec,
                       jax.tree.map(lambda _: P((DATA, MODEL)), Scenario(
                           p0=0, target=0, depth=0, us0=0))),
-            out_specs=(P((DATA, MODEL)), P(), P()),
+            out_specs=out_specs,
             check_vma=False)
         return jax.jit(f)
 
@@ -110,9 +119,7 @@ class DistributedMPC:
                     sharding, a), scen)
         return jax.tree.map(lambda a: jax.device_put(a, sharding), scen)
 
-    def solve(self, frame, scen: Scenario):
-        """frame (C, H, W) u8, scenario batch divisible by the device
-        count. Returns (u0 batch, mean cost, max primal residual)."""
+    def _prepare(self, frame, scen: Scenario):
         n_dev = self.mesh.shape[DATA] * self.mesh.shape[MODEL]
         global_batch = scen.p0.shape[0] * jax.process_count()
         if global_batch % n_dev:
@@ -128,4 +135,17 @@ class DistributedMPC:
             frame_spec = (P(None, MODEL, None) if n_model > 1 else P())
             frame = jax.device_put(
                 frame, NamedSharding(self.mesh, frame_spec))
-        return self._step(frame, self.shard_scenarios(scen))
+        return frame, self.shard_scenarios(scen)
+
+    def solve(self, frame, scen: Scenario):
+        """frame (C, H, W) u8, scenario batch divisible by the device
+        count. Returns (u0 batch, mean cost, max primal residual)."""
+        return self._step(*self._prepare(frame, scen))
+
+    def solve_full(self, frame, scen: Scenario):
+        """Like ``solve`` but returns per-scenario arrays
+        (u0 (B, 6), cost (B,), primal_residual (B,)) — the result payload
+        of the async dispatch tier's MPC jobs."""
+        if self._step_full is None:
+            self._step_full = self._build(full=True)
+        return self._step_full(*self._prepare(frame, scen))

@@ -1,0 +1,206 @@
+"""MPC scenario-batch jobs through the async dispatch tier.
+
+The reference routes its flagship compute through the queue worker
+(event-driven/grayscale_service/app.py:38-90); here the flagship is the MPC
+engine, so scenario batches must flow queue -> worker -> store the same way
+(SURVEY §7: dispatch tier as a pod-sharded scenario dispatcher). Covers:
+job publish/solve/completion contract, parity with a direct solve_batch,
+us0 warm-start via the store, and checkpointed resume after a mid-job
+worker death (at-least-once redelivery).
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from openmp_parallel_computing_tpu import imgio
+from openmp_parallel_computing_tpu.dispatch import (
+    DurableQueue,
+    ObjectStore,
+    Worker,
+)
+from openmp_parallel_computing_tpu.dispatch.frontend import FrontendState
+from openmp_parallel_computing_tpu.utils.config import DispatchConfig
+
+CFG = {"horizon": 4, "num_features": 2, "ilqr_iters": 1, "admm_iters": 1}
+
+
+def _scenario_npz(b=8, seed=0, with_us0=False):
+    rng = np.random.default_rng(seed)
+    arrays = {
+        "p0": rng.uniform(-0.6, 0.6, (b, 4)).astype(np.float32),
+        "target": rng.uniform(-0.5, 0.5, (b, 4)).astype(np.float32),
+        "depth": rng.uniform(1.0, 5.0, (b, 2)).astype(np.float32),
+    }
+    if with_us0:
+        arrays["us0"] = rng.uniform(-0.1, 0.1,
+                                    (b, CFG["horizon"], 6)).astype(np.float32)
+    out = io.BytesIO()
+    np.savez(out, **arrays)
+    return out.getvalue(), arrays
+
+
+def _frame_png(tmp_path):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(32, 136, 3), dtype=np.uint8)
+    p = tmp_path / "frame.png"
+    imgio.save_png(p, img)
+    return p.read_bytes(), np.transpose(img, (2, 0, 1))
+
+
+def _direct_solve(frame_chw, arrays):
+    import jax.numpy as jnp
+
+    from openmp_parallel_computing_tpu.models.mpc import (
+        Scenario, VisualServoMPC)
+    from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    cfg = MPCConfig(**CFG)
+    mpc = VisualServoMPC(cfg)
+    b = arrays["p0"].shape[0]
+    us0 = arrays.get("us0",
+                     np.zeros((b, cfg.horizon, 6), np.float32))
+    scen = Scenario(p0=jnp.asarray(arrays["p0"]),
+                    target=jnp.asarray(arrays["target"]),
+                    depth=jnp.asarray(arrays["depth"]),
+                    us0=jnp.asarray(us0))
+    edge = edge_pipeline(jnp.asarray(frame_chw))[0].astype(jnp.float32)
+    sol = mpc.solve_batch(edge, scen)
+    return np.asarray(sol.us[:, 0]), np.asarray(sol.cost)
+
+
+class TestMPCDispatch:
+    def test_job_end_to_end_matches_direct(self, tmp_path):
+        """publish MPC job -> worker solves over the local mesh -> results
+        in the store match a direct solve_batch."""
+        cfg = DispatchConfig(root=str(tmp_path / "d"))
+        fe = FrontendState(cfg)
+        try:
+            npz, arrays = _scenario_npz(b=8)
+            frame_png, frame_chw = _frame_png(tmp_path)
+            key = fe.submit_mpc(npz, CFG, devices=2, frame=frame_png)
+            assert key.startswith("uploads/") and key.endswith("_scen.npz")
+
+            Worker(cfg).run(stop_when_empty=True)
+
+            # completion message contract
+            deadline_status = fe.status(key)
+            assert deadline_status["processed"]
+            body = deadline_status
+            assert body["u0_key"].startswith("processed/")
+            assert body["scenarios"] == 8
+            assert "2" in body["times"] and body["times"]["2"] > 0
+            assert np.isfinite(body["costs"]["mean"])
+
+            store = ObjectStore(cfg.root)
+            result = np.load(io.BytesIO(store.get(body["u0_key"])))
+            want_u0, want_cost = _direct_solve(frame_chw, arrays)
+            np.testing.assert_allclose(result["u0"], want_u0,
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(result["costs"], want_cost,
+                                       rtol=1e-5, atol=1e-5)
+        finally:
+            fe.shutdown()
+
+    def test_warm_start_us0_roundtrip(self, tmp_path):
+        cfg = DispatchConfig(root=str(tmp_path / "w"))
+        store = ObjectStore(cfg.root)
+        npz, arrays = _scenario_npz(b=4, seed=3, with_us0=True)
+        key = store.put("uploads/abc_scen.npz", npz)
+        DurableQueue(cfg.root, cfg.queue).publish(
+            {"type": "mpc", "scenario_key": key, "config": CFG,
+             "devices": 1})
+        Worker(cfg).run(stop_when_empty=True)
+        body = json.loads(store.get("status/abc_scen.npz.json"))
+        result = np.load(io.BytesIO(store.get(body["u0_key"])))
+        frame = np.full((3, 64, 128), 128, np.uint8)  # worker default
+        want_u0, want_cost = _direct_solve(frame, arrays)
+        np.testing.assert_allclose(result["u0"], want_u0,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(result["costs"], want_cost,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_checkpoint_resume_after_worker_death(self, tmp_path,
+                                                  monkeypatch):
+        """A worker dying mid-job nacks the message; the redelivered job
+        resumes from the per-chunk checkpoint instead of recomputing."""
+        from openmp_parallel_computing_tpu.models.mpc import distributed
+
+        cfg = DispatchConfig(root=str(tmp_path / "r"))
+        store = ObjectStore(cfg.root)
+        npz, arrays = _scenario_npz(b=8, seed=9)
+        key = store.put("uploads/rz_scen.npz", npz)
+        jobs = DurableQueue(cfg.root, cfg.queue, visibility_timeout_s=0.1)
+        jobs.publish({"type": "mpc", "scenario_key": key, "config": CFG,
+                      "devices": 1, "chunk": 2})  # 4 chunks
+
+        calls = {"n": 0}
+        real = distributed.DistributedMPC.solve_full
+
+        def dying(self, frame, scen):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("simulated worker death")
+            return real(self, frame, scen)
+
+        monkeypatch.setattr(distributed.DistributedMPC, "solve_full", dying)
+        with pytest.raises(RuntimeError, match="simulated"):
+            Worker(cfg).run(stop_when_empty=True)
+        # message nacked back; 2 chunks checkpointed
+        assert jobs.depth() == 1
+        monkeypatch.setattr(distributed.DistributedMPC, "solve_full", real)
+
+        calls2 = {"n": 0}
+
+        def counting(self, frame, scen):
+            calls2["n"] += 1
+            return real(self, frame, scen)
+
+        monkeypatch.setattr(distributed.DistributedMPC, "solve_full",
+                            counting)
+        Worker(cfg).run(stop_when_empty=True)
+        assert calls2["n"] == 2  # resumed: only the 2 remaining chunks
+
+        body = json.loads(store.get("status/rz_scen.npz.json"))
+        result = np.load(io.BytesIO(store.get(body["u0_key"])))
+        frame = np.full((3, 64, 128), 128, np.uint8)
+        want_u0, want_cost = _direct_solve(frame, arrays)
+        np.testing.assert_allclose(result["u0"], want_u0,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(result["costs"], want_cost,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_http_mpc_submission(self, tmp_path):
+        import threading
+
+        import requests
+
+        from openmp_parallel_computing_tpu.dispatch.frontend import (
+            serve as serve_frontend)
+
+        cfg = DispatchConfig(root=str(tmp_path / "h"))
+        httpd, state = serve_frontend(cfg, port=0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            npz, arrays = _scenario_npz(b=4, seed=1)
+            resp = requests.post(
+                f"http://127.0.0.1:{port}/mpc",
+                files={"scenarios": ("scen.npz", npz)},
+                data={"horizon": str(CFG["horizon"]),
+                      "num_features": str(CFG["num_features"]),
+                      "ilqr_iters": "1", "admm_iters": "1", "devices": "1"})
+            assert resp.status_code == 200
+            key = resp.json()["key"]
+
+            Worker(cfg).run(stop_when_empty=True)
+            s = requests.get(f"http://127.0.0.1:{port}/status",
+                             params={"key": key}).json()
+            assert s["processed"] and np.isfinite(s["costs"]["mean"])
+        finally:
+            httpd.shutdown()
+            state.shutdown()
