@@ -61,6 +61,44 @@ class Solution(NamedTuple):
     primal_residual: jax.Array  # () max |us - z| over the horizon
 
 
+def _pyramid_batched(pyramid) -> bool:
+    """True when pyramid levels carry a leading per-scenario batch dim
+    ((B, Hf, Wf) rather than the shared (Hf, Wf)) — the serving
+    micro-batcher's multi-frame path."""
+    return pyramid[0].ndim == 3
+
+
+def _edge_vg_batch(pyramid, ps_b, shape):
+    """Pyramid edge cost value+grad at (B, K, n) trajectories.
+
+    Accepts a shared pyramid or per-scenario (leading-B) pyramid levels;
+    returns ((B, K) values, (B, K, n) grads)."""
+    h_img, w_img = shape
+
+    def eo(pyr, p):
+        return costs.edge_cost_pyramid(pyr, p, h_img, w_img)
+
+    if _pyramid_batched(pyramid):
+        return jax.vmap(lambda pyr, ps_i: jax.vmap(
+            jax.value_and_grad(lambda p: eo(pyr, p)))(ps_i))(pyramid, ps_b)
+    return jax.vmap(jax.vmap(
+        jax.value_and_grad(lambda p: eo(pyramid, p))))(ps_b)
+
+
+def _edge_val_batch(pyramid, ps_b, shape):
+    """Values only (final-cost evaluation); same batching contract as
+    ``_edge_vg_batch``."""
+    h_img, w_img = shape
+
+    def eo(pyr, p):
+        return costs.edge_cost_pyramid(pyr, p, h_img, w_img)
+
+    if _pyramid_batched(pyramid):
+        return jax.vmap(lambda pyr, ps_i: jax.vmap(
+            lambda p: eo(pyr, p))(ps_i))(pyramid, ps_b)
+    return jax.vmap(jax.vmap(lambda p: eo(pyramid, p)))(ps_b)
+
+
 def _solve_single(pyramid, shape, scen: Scenario,
                   cfg: MPCConfig) -> Solution:
     """Solve one scenario against a shared edge cost pyramid."""
@@ -166,14 +204,8 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
     B, h = scen.us0.shape[0], cfg.horizon
     n = scen.p0.shape[-1]
     cdim = dynamics.CONTROL_DIM
-    h_img, w_img = shape
     target = scen.target
     rho, q, r, qe = cfg.rho, cfg.q_track, cfg.r_ctrl, cfg.q_edge
-
-    def edge_only(p):
-        return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
-
-    edge_vg = jax.vmap(jax.vmap(jax.value_and_grad(edge_only)))
     rollout_b = jax.vmap(
         lambda p0, us, d: dynamics.rollout(p0, us, d, cfg.dt))
     lin_b = jax.vmap(lambda ps, us, d: jax.vmap(
@@ -191,7 +223,7 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
         ps = rollout_b(scen.p0, us, scen.depth)
         fx, fu = lin_b(ps[:, :-1], us, scen.depth)
         if qe:
-            e_ref, g_ref = edge_vg(ps)          # (B,H+1), (B,H+1,n)
+            e_ref, g_ref = _edge_vg_batch(pyramid, ps, shape)
         else:
             e_ref = jnp.zeros(ps.shape[:2], ps.dtype)
             g_ref = jnp.zeros_like(ps)
@@ -244,7 +276,7 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
 
     ps = rollout_b(scen.p0, z, scen.depth)
     if qe:
-        e_fin, _ = edge_vg(ps)
+        e_fin = _edge_val_batch(pyramid, ps, shape)
         edge_cost_total = qe * jnp.sum(e_fin, axis=1)
     else:
         edge_cost_total = jnp.zeros(B, jnp.float32)
@@ -267,7 +299,6 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     m = cfg.num_features
     n = 2 * m
     cdim = dynamics.CONTROL_DIM
-    h_img, w_img = shape
     q, r, rho, qe = cfg.q_track, cfg.r_ctrl, cfg.rho, cfg.q_edge
     # Sublane-packed batch tiles (8x128) for very large batches (measured
     # +17% at 16k scenarios, neutral-to-slightly-negative below 8k where
@@ -304,11 +335,7 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
         if not qe:
             return (None, jnp.zeros((h + 1, n) + bshape, jnp.float32))
         ps_b = unlanes(ps_l, 2)                     # (B, h+1, n)
-
-        def eo(p):
-            return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
-
-        e, g = jax.vmap(jax.vmap(jax.value_and_grad(eo)))(ps_b)
+        _, g = _edge_vg_batch(pyramid, ps_b, shape)
         g_l = jnp.pad(jnp.transpose(g, (1, 2, 0)),
                       ((0, 0), (0, 0), (0, Bp - B)))
         return None, g_l.reshape(g_l.shape[:-1] + bshape)
@@ -392,9 +419,8 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     track = q * jnp.sum((ps - scen.target[:, None]) ** 2, axis=(1, 2))
     ctrl = r * jnp.sum(us ** 2, axis=(1, 2))
     if qe:
-        def eo(p):
-            return costs.edge_cost_pyramid(pyramid, p, h_img, w_img)
-        edge_total = qe * jnp.sum(jax.vmap(jax.vmap(eo))(ps), axis=1)
+        edge_total = qe * jnp.sum(_edge_val_batch(pyramid, ps, shape),
+                                  axis=1)
     else:
         edge_total = jnp.zeros(B, jnp.float32)
     return Solution(
@@ -445,6 +471,37 @@ class VisualServoMPC:
             return _solve_batch_fused(pyramid, shape, scen, self.cfg)
         return jax.vmap(
             lambda s: _solve_single(pyramid, shape, s, self.cfg))(scen)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def solve_batch_multi(self, edge_maps: jax.Array,
+                          scen: Scenario) -> Solution:
+        """edge_maps (B, H, W) f32 — scenario i solves against map i.
+
+        The multi-frame twin of ``solve_batch`` for the serving
+        micro-batcher: B concurrent requests, each with its own camera
+        frame, fused into ONE device computation. Pyramid levels carry a
+        leading batch dim; every backend samples them per-scenario."""
+        pyramid = jax.vmap(costs.build_cost_pyramid)(edge_maps)
+        shape = edge_maps.shape[1:]
+        if self.cfg.backend == "sweep":
+            return _solve_batch_sweep(pyramid, shape, scen, self.cfg)
+        if self.cfg.backend == "fused":
+            return _solve_batch_fused(pyramid, shape, scen, self.cfg)
+        return jax.vmap(lambda pyr, s: _solve_single(
+            pyr, shape, s, self.cfg))(pyramid, scen)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def control_step_multi(self, frames: jax.Array, scen: Scenario):
+        """Per-request frames micro-batched into one device computation.
+
+        frames: (B, C, H, W) u8 — one camera image per scenario. Runs the
+        fused perception front-end per frame (unrolled; B is the serving
+        micro-batch, single digits) and the multi-frame batched solve;
+        returns (u0 batch, Solution batch). No host round-trips."""
+        edges = jnp.stack([edge_pipeline(frames[i])[0]
+                           for i in range(frames.shape[0])])
+        sol = self.solve_batch_multi(edges.astype(jnp.float32), scen)
+        return sol.us[:, 0], sol
 
     @functools.partial(jax.jit, static_argnums=0)
     def control_step(self, frame: jax.Array, scen: Scenario):

@@ -11,19 +11,26 @@ processed PNG with an ``X-Elapsed`` timing header. Differences, by design:
   compute + encode); ``X-Compute`` additionally reports the device-only
   span, the analogue of the kernel-region timing in the monolithic driver
   (``monolithic/src/main.c:31-39``);
-- implemented on the stdlib ThreadingHTTPServer (no Flask dependency).
+- implemented on the stdlib ThreadingHTTPServer (no Flask dependency);
+- concurrent ``/control`` requests micro-batch into one device solve
+  (``ControlBatcher``) and device work is bounded by a semaphore — the
+  batched-serving design SURVEY §2a calls for, instead of the reference's
+  one-subprocess-per-request model.
 
-Endpoints: POST /grayscale, /edge (fused sobel pipeline), /blur;
-GET /healthz.
+Endpoints: POST /grayscale, /edge (fused sobel pipeline), /blur, /control;
+GET /healthz, /metricz.
 """
 
 from __future__ import annotations
 
+import collections
 import email.parser
 import email.policy
 import functools
 import json
+import queue as queue_mod
 import tempfile
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -41,7 +48,37 @@ from openmp_parallel_computing_tpu.ops.runner import (
 from openmp_parallel_computing_tpu.utils.config import ServeConfig
 from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
 
-_warmed: set[tuple] = set()
+
+class _WarmCache:
+    """Thread-safe bounded record of already-warmed jit cache keys.
+
+    Bounded LRU so shape churn cannot grow it without limit; the benign
+    race (two threads warming the same key once each) costs a duplicate
+    cached-compile lookup, never wrong results.
+    """
+
+    def __init__(self, cap: int = 256):
+        self._lock = threading.Lock()
+        self._keys: collections.OrderedDict = collections.OrderedDict()
+        self._cap = cap
+
+    def needs_warm(self, key) -> bool:
+        """Mark key warmed; return True if it was not already recorded."""
+        with self._lock:
+            seen = key in self._keys
+            self._keys[key] = None
+            self._keys.move_to_end(key)
+            while len(self._keys) > self._cap:
+                self._keys.popitem(last=False)
+            return not seen
+
+
+_warmed = _WarmCache()
+
+# Bound on concurrent device computations. Request threads past the limit
+# wait here instead of queueing work on the chip (ServeConfig.max_inflight;
+# resized by serve()).
+_device_slots = threading.BoundedSemaphore(ServeConfig.max_inflight)
 
 # Compile-churn guards: on the single relayed TPU a first compile takes
 # minutes, so arbitrary unauthenticated form values must not be able to
@@ -60,12 +97,12 @@ def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
                            devices)
     key = (kernel, chw.shape, passes, devices)
     run = make_runner(kernel, passes, devices, orig_h=orig_h)
-    if warm and key not in _warmed:
-        _ = np.asarray(run(chw))  # keep compile out of X-Compute
-        _warmed.add(key)
-    t0 = time.perf_counter()
-    out = np.asarray(run(chw))
-    compute_s = time.perf_counter() - t0
+    with _device_slots:
+        if warm and _warmed.needs_warm(key):
+            _ = np.asarray(run(chw))  # keep compile out of X-Compute
+        t0 = time.perf_counter()
+        out = np.asarray(run(chw))
+        compute_s = time.perf_counter() - t0
     out = out[:, :orig_h, :]
     return np.transpose(out, (1, 2, 0)), compute_s
 
@@ -112,11 +149,157 @@ def _mpc_engine(horizon: int, num_features: int):
                                     num_features=num_features))
 
 
+class _PendingControl:
+    """One /control request waiting in the micro-batch collector."""
+
+    __slots__ = ("frame", "p0", "target", "depth", "horizon", "event",
+                 "result", "error")
+
+    def __init__(self, frame, p0, target, depth, horizon):
+        self.frame = frame          # (C, H, W) u8
+        self.p0 = p0
+        self.target = target
+        self.depth = depth
+        self.horizon = horizon
+        self.event = threading.Event()
+        self.result: dict | None = None
+        self.error: Exception | None = None
+
+    @property
+    def key(self):
+        return (self.horizon, self.depth.size, self.frame.shape)
+
+
+class ControlBatcher:
+    """Micro-batches concurrent /control requests into one device solve.
+
+    SURVEY §2a asks for a "batched serving endpoint; device-resident model,
+    host async queue": requests that arrive within ``window_s`` of the
+    first pending one and share (horizon, features, frame shape) are padded
+    to the next power-of-two bucket (bounded compile count) and solved as
+    ONE ``control_step_multi`` computation; each caller gets its own row.
+    A lone request pays at most ``window_s`` extra latency — small next to
+    the device solve it amortizes under load.
+    """
+
+    def __init__(self, window_s: float = ServeConfig.batch_window_ms / 1e3,
+                 max_batch: int = ServeConfig.max_batch):
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._q: queue_mod.Queue = queue_mod.Queue()
+        self._deferred: collections.deque = collections.deque()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+
+    def configure(self, window_s: float, max_batch: int) -> None:
+        self.window_s = window_s
+        self.max_batch = max(1, max_batch)
+
+    def submit(self, frame_chw, p0, target, depth, horizon,
+               timeout_s: float = 600.0) -> dict:
+        item = _PendingControl(frame_chw, p0, target, depth, horizon)
+        self._ensure_thread()
+        self._q.put(item)
+        if not item.event.wait(timeout=timeout_s):
+            raise TimeoutError("control solve timed out")
+        if item.error is not None:
+            raise item.error
+        assert item.result is not None
+        return item.result
+
+    def _ensure_thread(self) -> None:
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._loop,
+                                                daemon=True)
+                self._thread.start()
+
+    def _collect(self) -> list[_PendingControl]:
+        """First pending item plus every compatible one that shows up
+        within the window (incompatible arrivals are deferred, not lost)."""
+        first = (self._deferred.popleft() if self._deferred
+                 else self._q.get())
+        batch = [first]
+        for it in list(self._deferred):
+            if len(batch) >= self.max_batch:
+                break
+            if it.key == first.key:
+                self._deferred.remove(it)
+                batch.append(it)
+        deadline = time.perf_counter() + self.window_s
+        while len(batch) < self.max_batch:
+            rem = deadline - time.perf_counter()
+            if rem <= 0:
+                break
+            try:
+                it = self._q.get(timeout=rem)
+            except queue_mod.Empty:
+                break
+            if it.key == first.key:
+                batch.append(it)
+            else:
+                self._deferred.append(it)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            try:
+                self._solve(batch)
+            except Exception as exc:  # deliver the failure to every caller
+                for it in batch:
+                    it.error = exc
+                    it.event.set()
+
+    def _solve(self, batch: list[_PendingControl]) -> None:
+        from openmp_parallel_computing_tpu.models.mpc import Scenario
+
+        horizon, m, shape = batch[0].key
+        B = len(batch)
+        bucket = 1 << (B - 1).bit_length()   # pad: compiles only per pow2
+        pad = bucket - B
+        mpc = _mpc_engine(horizon, m)
+
+        def stacked(attr):
+            rows = [getattr(it, attr) for it in batch]
+            rows += [rows[-1]] * pad
+            return jnp.asarray(np.stack(rows))
+
+        scen = Scenario(p0=stacked("p0"), target=stacked("target"),
+                        depth=stacked("depth"),
+                        us0=jnp.zeros((bucket, horizon, 6), jnp.float32))
+        frames = stacked("frame")
+        warm_key = ("control", shape, horizon, m, bucket)
+        with _device_slots:
+            if _warmed.needs_warm(warm_key):
+                w_u0, _ = mpc.control_step_multi(frames, scen)
+                _ = np.asarray(w_u0)     # keep compile out of compute_s
+            t0 = time.perf_counter()
+            u0, sol = mpc.control_step_multi(frames, scen)
+            u0 = np.asarray(u0)
+            cost = np.asarray(sol.cost)
+            res = np.asarray(sol.primal_residual)
+            compute_s = time.perf_counter() - t0
+        metrics.observe("serve.batch_size", float(B))
+        for i, it in enumerate(batch):
+            it.result = {
+                "u0": u0[i].tolist(),
+                "cost": float(cost[i]),
+                "primal_residual": float(res[i]),
+                "compute_s": round(compute_s, 4),
+                "batched": B,
+            }
+            it.event.set()
+
+
+_batcher = ControlBatcher()
+
+
 def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
     """Real-time control endpoint body: frame + scenario state -> first
     controls (the MPC engine as a service; BASELINE's 'real-time control
-    endpoint' replacing the batch-only reference surface)."""
-    from openmp_parallel_computing_tpu.models.mpc import Scenario
+    endpoint' replacing the batch-only reference surface). Concurrent
+    requests coalesce in the micro-batcher."""
 
     def parse(name):
         raw = fields.get(name)
@@ -137,22 +320,8 @@ def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
         raise ValueError(f"need 1..{MAX_FEATURES} features")
     if p0.size != 2 * m or target.size != 2 * m:
         raise ValueError("p0/target must have 2*len(depth) entries")
-    mpc = _mpc_engine(horizon, m)
-    scen = Scenario(
-        p0=jnp.asarray(p0)[None], target=jnp.asarray(target)[None],
-        depth=jnp.asarray(depth)[None],
-        us0=jnp.zeros((1, horizon, 6), jnp.float32))
-    chw = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
-    t0 = time.perf_counter()
-    u0, sol = mpc.control_step(chw, scen)
-    u0 = np.asarray(u0)
-    compute_s = time.perf_counter() - t0
-    return {
-        "u0": u0[0].tolist(),
-        "cost": float(np.asarray(sol.cost)[0]),
-        "primal_residual": float(np.asarray(sol.primal_residual)[0]),
-        "compute_s": round(compute_s, 4),
-    }
+    chw = np.ascontiguousarray(np.transpose(frame_hwc, (2, 0, 1)))
+    return _batcher.submit(chw, p0, target, depth, horizon)
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -268,6 +437,9 @@ class Handler(BaseHTTPRequestHandler):
 
 def serve(cfg: ServeConfig | None = None) -> ThreadingHTTPServer:
     cfg = cfg or ServeConfig()
+    global _device_slots
+    _batcher.configure(cfg.batch_window_ms / 1e3, cfg.max_batch)
+    _device_slots = threading.BoundedSemaphore(max(1, cfg.max_inflight))
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), Handler)
     return httpd
 

@@ -60,6 +60,14 @@ class MPCConfig:
 class ServeConfig:
     host: str = "0.0.0.0"
     port: int = 5000
+    # Micro-batching of concurrent /control requests: requests arriving
+    # within batch_window_ms of the first pending one coalesce into a
+    # single device solve of up to max_batch scenarios.
+    batch_window_ms: float = 5.0
+    max_batch: int = 8
+    # Bound on concurrent device computations (request threads beyond it
+    # queue on a semaphore instead of piling work onto the chip).
+    max_inflight: int = 2
 
 
 @dataclasses.dataclass

@@ -1,0 +1,239 @@
+"""Batched serving: the /control micro-batcher and multi-frame solve.
+
+SURVEY §2a mandates a "batched serving endpoint; device-resident model,
+host async queue" — unlike the reference's one-subprocess-per-request
+model (microservices/grayscale/app.py:44-45). Covers: multi-frame solver
+equivalence across backends, request coalescing in ControlBatcher,
+per-request correctness under concurrent HTTP clients, mixed-key
+deferral, and the bounded thread-safe warm cache.
+"""
+
+import threading
+from http.server import ThreadingHTTPServer
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmp_parallel_computing_tpu import imgio
+from openmp_parallel_computing_tpu.models.mpc import Scenario, VisualServoMPC
+from openmp_parallel_computing_tpu.serve import server as srv
+from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+H, M = 5, 2  # horizon must be in srv.ALLOWED_HORIZONS
+
+
+def _frames(b, hw=(32, 136), seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (b, 3) + hw, dtype=np.uint8)
+
+
+def _scen(b, m=M, h=H, seed=0):
+    rng = np.random.default_rng(seed)
+    return Scenario(
+        p0=jnp.asarray(rng.uniform(-.6, .6, (b, 2 * m)), jnp.float32),
+        target=jnp.asarray(rng.uniform(-.5, .5, (b, 2 * m)), jnp.float32),
+        depth=jnp.asarray(rng.uniform(1, 5, (b, m)), jnp.float32),
+        us0=jnp.zeros((b, h, 6), jnp.float32))
+
+
+class TestMultiFrameSolve:
+    """control_step_multi: per-scenario frames in ONE computation."""
+
+    @pytest.mark.parametrize("backend", ["sweep", "fused", "reference"])
+    def test_matches_per_frame_solves(self, backend):
+        cfg = MPCConfig(horizon=H, num_features=M, ilqr_iters=2,
+                        admm_iters=2, backend=backend)
+        mpc = VisualServoMPC(cfg)
+        B = 3
+        frames = _frames(B)
+        scen = _scen(B)
+        u0_multi, sol_multi = mpc.control_step_multi(
+            jnp.asarray(frames), scen)
+        for i in range(B):
+            si = Scenario(*(a[i:i + 1] for a in scen))
+            u0_i, sol_i = mpc.control_step(jnp.asarray(frames[i]), si)
+            np.testing.assert_allclose(np.asarray(u0_multi)[i],
+                                       np.asarray(u0_i)[0],
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(sol_multi.cost)[i],
+                                       np.asarray(sol_i.cost)[0],
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_solve_batch_multi_identical_frames_match_shared(self):
+        """B copies of one frame through the multi path == the shared-
+        pyramid solve_batch (same math, batched pyramid)."""
+        from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
+
+        cfg = MPCConfig(horizon=H, num_features=M, ilqr_iters=2,
+                        admm_iters=2)
+        mpc = VisualServoMPC(cfg)
+        B = 4
+        frame = _frames(1)[0]
+        scen = _scen(B, seed=3)
+        edge = edge_pipeline(jnp.asarray(frame))[0].astype(jnp.float32)
+        sol_shared = mpc.solve_batch(edge, scen)
+        sol_multi = mpc.solve_batch_multi(
+            jnp.broadcast_to(edge, (B,) + edge.shape), scen)
+        np.testing.assert_allclose(np.asarray(sol_multi.us),
+                                   np.asarray(sol_shared.us),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sol_multi.cost),
+                                   np.asarray(sol_shared.cost),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestControlBatcher:
+    def test_concurrent_submits_coalesce_and_are_correct(self):
+        batcher = srv.ControlBatcher(window_s=0.5, max_batch=8)
+        B = 6
+        frames = _frames(B, seed=11)
+        scen = _scen(B, seed=12)
+        results: list = [None] * B
+        barrier = threading.Barrier(B)
+
+        def client(i):
+            barrier.wait()
+            results[i] = batcher.submit(
+                frames[i], np.asarray(scen.p0[i]),
+                np.asarray(scen.target[i]), np.asarray(scen.depth[i]), H)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(B)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None for r in results)
+        # all six arrived inside the 0.5 s window -> one device solve
+        assert any(r["batched"] >= 2 for r in results)
+        mpc = VisualServoMPC(MPCConfig(horizon=H, num_features=M))
+        for i, r in enumerate(results):
+            si = Scenario(*(a[i:i + 1] for a in scen))
+            u0_i, sol_i = mpc.control_step(jnp.asarray(frames[i]), si)
+            np.testing.assert_allclose(r["u0"], np.asarray(u0_i)[0],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(r["cost"],
+                                       float(np.asarray(sol_i.cost)[0]),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_mixed_keys_defer_but_complete(self):
+        """Requests with different (horizon, m) cannot share a solve; the
+        collector defers them to the next batch instead of dropping."""
+        batcher = srv.ControlBatcher(window_s=0.2, max_batch=8)
+        frames = _frames(2, seed=21)
+        s_a = _scen(1, seed=22)
+        s_b = _scen(1, m=3, h=10, seed=23)
+        out: dict = {}
+        barrier = threading.Barrier(2)
+
+        def run(tag, frame, s, m, h):
+            barrier.wait()
+            out[tag] = batcher.submit(
+                frame, np.asarray(s.p0[0]), np.asarray(s.target[0]),
+                np.asarray(s.depth[0]), h)
+
+        ts = [threading.Thread(target=run,
+                               args=("a", frames[0], s_a, M, H)),
+              threading.Thread(target=run,
+                               args=("b", frames[1], s_b, 3, 10))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert set(out) == {"a", "b"}
+        assert len(out["a"]["u0"]) == 6 and len(out["b"]["u0"]) == 6
+        assert np.isfinite(out["a"]["cost"])
+        assert np.isfinite(out["b"]["cost"])
+
+    def test_solver_error_propagates_to_caller(self):
+        batcher = srv.ControlBatcher(window_s=0.01, max_batch=4)
+        frame = _frames(1)[0]
+        s = _scen(1)
+        with pytest.raises(Exception):
+            # zero-feature depth makes the engine solve unrepresentable;
+            # whatever the solver raises must surface in the caller,
+            # not kill the collector thread
+            batcher.submit(frame, np.asarray(s.p0[0]),
+                           np.asarray(s.target[0]),
+                           np.zeros((0,), np.float32), 7)
+        # the collector thread survived the failure
+        r = batcher.submit(frame, np.asarray(s.p0[0]),
+                           np.asarray(s.target[0]),
+                           np.asarray(s.depth[0]), H)
+        assert np.isfinite(r["cost"])
+
+
+class TestConcurrentHTTP:
+    def test_n_clients_each_get_their_own_result(self, tmp_path):
+        import requests
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/control"
+        B = 4
+        frames = _frames(B, seed=31)
+        scen = _scen(B, seed=32)
+        paths = []
+        for i in range(B):
+            p = tmp_path / f"f{i}.png"
+            imgio.save_png(p, np.transpose(frames[i], (1, 2, 0)))
+            paths.append(p)
+
+        responses: list = [None] * B
+        barrier = threading.Barrier(B)
+
+        def post(i):
+            def fmt(v):
+                # 9 significant digits: exact float32 round-trip
+                return ",".join(f"{float(x):.9g}" for x in np.asarray(v))
+            barrier.wait()
+            with open(paths[i], "rb") as f:
+                responses[i] = requests.post(url, files={"image": f}, data={
+                    "p0": fmt(scen.p0[i]), "target": fmt(scen.target[i]),
+                    "depth": fmt(scen.depth[i]), "horizon": str(H)})
+
+        try:
+            threads = [threading.Thread(target=post, args=(i,))
+                       for i in range(B)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            mpc = VisualServoMPC(MPCConfig(horizon=H, num_features=M))
+            for i, resp in enumerate(responses):
+                assert resp is not None and resp.status_code == 200
+                body = resp.json()
+                si = Scenario(*(a[i:i + 1] for a in scen))
+                u0_i, _ = mpc.control_step(jnp.asarray(frames[i]), si)
+                np.testing.assert_allclose(body["u0"], np.asarray(u0_i)[0],
+                                           rtol=1e-4, atol=1e-4)
+        finally:
+            httpd.shutdown()
+
+
+class TestWarmCache:
+    def test_needs_warm_once_and_bounded(self):
+        cache = srv._WarmCache(cap=3)
+        assert cache.needs_warm("a")
+        assert not cache.needs_warm("a")
+        for k in ("b", "c", "d"):   # evicts "a" (cap 3, LRU)
+            cache.needs_warm(k)
+        assert cache.needs_warm("a")
+
+    def test_thread_safe_under_contention(self):
+        cache = srv._WarmCache(cap=64)
+        hits = []
+
+        def worker(seed):
+            for i in range(200):
+                if cache.needs_warm(("k", i % 50)):
+                    hits.append(i)
+
+        ts = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # no exceptions, and the cache never exceeded its bound
+        assert len(cache._keys) <= 64
