@@ -103,6 +103,130 @@ def backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
     return Gains(K=Ks, k=ks, dV=jnp.stack([dv1, dv2]))
 
 
+def backward_assoc(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
+                   reg: float = 1e-6) -> Gains:
+    """Associative-scan Riccati backward sweep: depth log2(H) instead of H.
+
+    Same inputs/outputs as ``backward`` (equivalence-tested); built for the
+    latency-bound regime (small scenario batch, long horizon) where the
+    sequential scan's H dependent steps dominate. The horizon becomes the
+    parallel axis: cost-to-go propagation is expressed as composition of
+    affine-quadratic "span" elements and reduced with
+    ``jax.lax.associative_scan`` (cf. "The Parallelization of Riccati
+    Recursion", arXiv:1809.06360; derivation re-done from scratch below).
+
+    Element representation. A span [s, e) is the conditional cost map
+
+        F(x_s, x_e) = min_{controls} { sum of stage costs }
+                      s.t. the dynamics connect x_s to x_e,
+
+    stored as the 5-tuple (A, b, C, eta, J) meaning
+
+        F(x, z) = 0.5 x'Jx - eta'x + delta_C(z - Ax - b),
+        delta_C(d) = sup_l [l'd - 0.5 l'C l]
+
+    (delta_C is the convex dual of the control-effort-to-reach term; C = 0
+    degenerates to the hard constraint z = Ax + b, so rank-deficient
+    reachability needs no special casing). One LQR step with cost
+    0.5x'lxx x + lx'x + 0.5u'luu u + lu'u + u'lux x and dynamics
+    z = fx x + fu u completes the square in u and reads off
+
+        A = fx - fu luu^{-1} lux        b = -fu luu^{-1} lu
+        C = fu luu^{-1} fu'             J = lxx - lux' luu^{-1} lux
+        eta = -(lx - lux' luu^{-1} lu)
+
+    with the terminal element (0, 0, 0, -vx, vxx). Minimizing out the
+    midpoint state of two adjacent spans gives the associative combine
+    (E = (I + C_i J_j)^{-1}; i earlier in time, j later; E' = (I+J_jC_i)^{-1}):
+
+        A_ij  = A_j E A_i
+        b_ij  = A_j E (b_i + C_i eta_j) + b_j
+        C_ij  = A_j E C_i A_j' + C_j
+        eta_ij= eta_i + A_i' E' (eta_j - J_j b_i)
+        J_ij  = J_i + A_i' E' J_j A_i
+
+    The suffix reduction of [E_0..E_{H-1}, E_term] yields V_t for every t
+    at once (Vxx_t = J, vx_t = -eta); the time-varying gains then come from
+    the standard one-step formulas, batched over the whole horizon.
+    ``reg`` regularizes only the gain solve, exactly like ``backward``.
+    """
+    H, n = fx.shape[0], fx.shape[-1]
+    eye_n = jnp.eye(n, dtype=fx.dtype)
+
+    # -- leaf elements (one per step) + terminal ---------------------------
+    luu_inv_lu = spd_solve(luu, lu[..., None])[..., 0]          # (H, c)
+    luu_inv_lux = spd_solve(luu, lux)                           # (H, c, n)
+    luu_inv_fuT = spd_solve(luu, jnp.swapaxes(fu, -1, -2))      # (H, c, n)
+    A = fx - fu @ luu_inv_lux
+    b = -(fu @ luu_inv_lu[..., None])[..., 0]
+    C = fu @ luu_inv_fuT
+    eta = -(lx - jnp.einsum("tcn,tc->tn", luu_inv_lux, lu))
+    J = lxx - jnp.swapaxes(lux, -1, -2) @ luu_inv_lux
+
+    zeros_m = jnp.zeros((1, n, n), fx.dtype)
+    zeros_v = jnp.zeros((1, n), fx.dtype)
+    elems = (
+        jnp.concatenate([A, zeros_m]),
+        jnp.concatenate([b, zeros_v]),
+        jnp.concatenate([C, zeros_m]),
+        jnp.concatenate([eta, -vx[None]]),
+        jnp.concatenate([J, vxx[None]]),
+    )
+
+    def combine(ej, ei):
+        """Compose adjacent spans; ``ei`` is earlier in time than ``ej``.
+
+        Argument order matches ``associative_scan(reverse=True)``, which
+        feeds the LATER element first (verified: a reverse matmul scan
+        yields M_{k-1}...M_1 @ M_0 per suffix, i.e. fn(a, b) = a after b).
+        """
+        A_i, b_i, C_i, eta_i, J_i = ei
+        A_j, b_j, C_j, eta_j, J_j = ej
+        M = eye_n + C_i @ J_j                     # (..., n, n)
+        rhs1 = jnp.concatenate(
+            [A_i, (b_i + (C_i @ eta_j[..., None])[..., 0])[..., None], C_i],
+            axis=-1)
+        X1 = jnp.linalg.solve(M, rhs1)            # E @ [A_i | b~ | C_i]
+        rhs2 = jnp.concatenate(
+            [(eta_j - (J_j @ b_i[..., None])[..., 0])[..., None],
+             J_j @ A_i], axis=-1)
+        X2 = jnp.linalg.solve(jnp.swapaxes(M, -1, -2), rhs2)  # E' @ [...]
+        E_Ai = X1[..., :n]
+        E_b = X1[..., n]
+        E_Ci = X1[..., n + 1:]
+        A_ij = A_j @ E_Ai
+        b_ij = (A_j @ E_b[..., None])[..., 0] + b_j
+        C_ij = A_j @ E_Ci @ jnp.swapaxes(A_j, -1, -2) + C_j
+        C_ij = 0.5 * (C_ij + jnp.swapaxes(C_ij, -1, -2))
+        AiT = jnp.swapaxes(A_i, -1, -2)
+        eta_ij = eta_i + (AiT @ X2[..., 0:1])[..., 0]
+        J_ij = J_i + AiT @ X2[..., 1:]
+        J_ij = 0.5 * (J_ij + jnp.swapaxes(J_ij, -1, -2))
+        return A_ij, b_ij, C_ij, eta_ij, J_ij
+
+    suffix = jax.lax.associative_scan(combine, elems, reverse=True)
+    Vxx_all = suffix[4]                  # (H+1, n, n): V_t for t = 0..H
+    vx_all = -suffix[3]                  # (H+1, n)
+
+    # -- gains for every step in parallel ---------------------------------
+    Vx_n = vx_all[1:]                    # V_{t+1}, (H, n)
+    Vxx_n = Vxx_all[1:]                  # (H, n, n)
+    fuT = jnp.swapaxes(fu, -1, -2)
+    Vxx_fu = Vxx_n @ fu
+    Qu = lu + (fuT @ Vx_n[..., None])[..., 0]
+    Quu = luu + fuT @ Vxx_fu
+    Qux = lux + fuT @ (Vxx_n @ fx)
+    c = lu.shape[-1]
+    Quu_reg = Quu + reg * jnp.eye(c, dtype=Quu.dtype)
+    sol = -spd_solve(Quu_reg, jnp.concatenate([Qu[..., None], Qux],
+                                              axis=-1))
+    kff = sol[..., 0]
+    K = sol[..., 1:]
+    dv1 = jnp.einsum("tc,tc->", kff, Qu)
+    dv2 = 0.5 * jnp.einsum("tc,tcd,td->", kff, Quu, kff)
+    return Gains(K=K, k=kff, dV=jnp.stack([dv1, dv2]))
+
+
 def forward(step_fn, p0, ps_nom, us_nom, gains: Gains, alpha):
     """Closed-loop rollout with the affine policy
     u = u_nom + alpha * k + K (p - p_nom)."""

@@ -99,9 +99,12 @@ def _edge_val_batch(pyramid, ps_b, shape):
     return jax.vmap(jax.vmap(lambda p: eo(pyramid, p)))(ps_b)
 
 
-def _solve_single(pyramid, shape, scen: Scenario,
-                  cfg: MPCConfig) -> Solution:
-    """Solve one scenario against a shared edge cost pyramid."""
+def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
+                  backward_fn=riccati.backward) -> Solution:
+    """Solve one scenario against a shared edge cost pyramid.
+
+    ``backward_fn``: the Riccati backward implementation — sequential scan
+    by default, ``riccati.backward_assoc`` for the log-depth backend."""
     cdim = dynamics.CONTROL_DIM
 
     def step_fn(p, u):
@@ -145,7 +148,7 @@ def _solve_single(pyramid, shape, scen: Scenario,
         # Analytic expansion of the ADMM penalty 0.5*rho*||u - z + y||^2.
         lu = lu + rho * (us - z + y)
         luu = luu + rho * eye_c[None]
-        gains = riccati.backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx)
+        gains = backward_fn(fx, fu, lx, lu, lxx, luu, lux, vx, vxx)
 
         def aug_cost_lin(ps_c, us_c):
             quad = riccati.trajectory_cost(stage_q, terminal_q, ps_c, us_c)
@@ -469,8 +472,11 @@ class VisualServoMPC:
             return _solve_batch_sweep(pyramid, shape, scen, self.cfg)
         if self.cfg.backend == "fused":
             return _solve_batch_fused(pyramid, shape, scen, self.cfg)
+        bwd = (riccati.backward_assoc if self.cfg.backend == "assoc"
+               else riccati.backward)
         return jax.vmap(
-            lambda s: _solve_single(pyramid, shape, s, self.cfg))(scen)
+            lambda s: _solve_single(pyramid, shape, s, self.cfg,
+                                    bwd))(scen)
 
     @functools.partial(jax.jit, static_argnums=0)
     def solve_batch_multi(self, edge_maps: jax.Array,
@@ -487,8 +493,10 @@ class VisualServoMPC:
             return _solve_batch_sweep(pyramid, shape, scen, self.cfg)
         if self.cfg.backend == "fused":
             return _solve_batch_fused(pyramid, shape, scen, self.cfg)
+        bwd = (riccati.backward_assoc if self.cfg.backend == "assoc"
+               else riccati.backward)
         return jax.vmap(lambda pyr, s: _solve_single(
-            pyr, shape, s, self.cfg))(pyramid, scen)
+            pyr, shape, s, self.cfg, bwd))(pyramid, scen)
 
     @functools.partial(jax.jit, static_argnums=0)
     def control_step_multi(self, frames: jax.Array, scen: Scenario):

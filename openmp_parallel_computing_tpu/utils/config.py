@@ -47,6 +47,9 @@ class MPCConfig:
     #   "sweep"     - whole-sweep fused Pallas kernels (fastest; default)
     #   "fused"     - fused Pallas Riccati backward, XLA elsewhere
     #   "reference" - per-scenario vmapped XLA implementation
+    #   "assoc"     - reference with the associative-scan (log-depth)
+    #                 Riccati backward: the latency-bound long-horizon
+    #                 regime (riccati.backward_assoc)
     backend: str = "sweep"
     # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
     # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost

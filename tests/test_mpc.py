@@ -101,6 +101,40 @@ class TestRiccatiLQR:
         np.testing.assert_allclose(np.asarray(u), np.asarray(u_analytic),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_assoc_matches_sequential(self):
+        """Associative-scan backward == sequential scan (log-depth twin),
+        including nonzero lux cross terms and both reg settings."""
+        rng = np.random.default_rng(5)
+        H, n, c = 13, 6, 3
+
+        def spd(*s):
+            a = rng.standard_normal(s).astype(np.float32)
+            return a @ np.swapaxes(a, -1, -2) + 0.5 * np.eye(s[-1],
+                                                             dtype=np.float32)
+
+        fx = jnp.asarray(rng.standard_normal((H, n, n)) * 0.3
+                         + np.eye(n), jnp.float32)
+        fu = jnp.asarray(rng.standard_normal((H, n, c)) * 0.4, jnp.float32)
+        lx = jnp.asarray(rng.standard_normal((H, n)), jnp.float32)
+        lu = jnp.asarray(rng.standard_normal((H, c)), jnp.float32)
+        lxx = jnp.asarray(spd(H, n, n))
+        luu = jnp.asarray(spd(H, c, c))
+        lux = jnp.asarray(rng.standard_normal((H, c, n)) * 0.3, jnp.float32)
+        vx = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        vxx = jnp.asarray(spd(n, n))
+        for reg in (0.0, 1e-6):
+            seq = riccati.backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
+                                   reg=reg)
+            par = riccati.backward_assoc(fx, fu, lx, lu, lxx, luu, lux,
+                                         vx, vxx, reg=reg)
+            np.testing.assert_allclose(np.asarray(par.K), np.asarray(seq.K),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(par.k), np.asarray(seq.k),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(par.dV),
+                                       np.asarray(seq.dV),
+                                       rtol=1e-4, atol=1e-5)
+
 
 @pytest.fixture(scope="module")
 def flat_edge_map():
@@ -187,6 +221,23 @@ class TestSolver:
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(k), np.asarray(gains.k),
                                    rtol=2e-4, atol=2e-5)
+
+    def test_assoc_backend_matches_reference(self, small_cfg):
+        """Full-solve equivalence of the log-depth backend."""
+        import dataclasses
+        rng = np.random.default_rng(17)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        assoc = VisualServoMPC(
+            dataclasses.replace(small_cfg, backend="assoc", q_edge=0.1))
+        ref = VisualServoMPC(
+            dataclasses.replace(small_cfg, backend="reference", q_edge=0.1))
+        scen = assoc.random_scenarios(jax.random.PRNGKey(6), 4)
+        sa = assoc.solve_batch(edge, scen)
+        sr = ref.solve_batch(edge, scen)
+        np.testing.assert_allclose(np.asarray(sa.us), np.asarray(sr.us),
+                                   rtol=2e-2, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(sa.cost), np.asarray(sr.cost),
+                                   rtol=1e-3, atol=1e-3)
 
     def test_deterministic(self, flat_edge_map, small_cfg):
         mpc = VisualServoMPC(small_cfg)
