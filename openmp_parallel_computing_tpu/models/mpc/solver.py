@@ -17,12 +17,15 @@ Solve structure (all fixed-iteration, jit-compilable, static shapes):
         z = clip(us + y)   # projection onto the control box
         y = y + us - z     # dual ascent
 
-Three numerically equivalent backends (docs/DESIGN.md):
+Four numerically equivalent backends (docs/DESIGN.md):
   "sweep" (default)  whole-sweep fused Pallas kernels, batch-in-lanes
-                     (sublane-packed for >=8192 scenarios; one-launch
-                     unified backward+forward when scratch fits)
+                     (sublane-packed once the batch ~fills a
+                     1024-scenario tile; one-launch unified
+                     backward+forward when scratch fits)
   "fused"            fused Pallas Riccati backward, XLA elsewhere
   "reference"        per-scenario vmapped XLA (audit/fallback)
+  "assoc"            reference with the log-depth associative-scan
+                     backward (audit; measured slower on v5e)
 
 The whole perception->solve path compiles into ONE device computation
 (``control_step``): no host round-trip per frame, per the real-time budget.
@@ -43,6 +46,13 @@ from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
 from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
 _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
+
+# Measured speed ratio of the sublane-packed (8, 128) tile layout over
+# lane-only, per padded scenario (results/tpu_v5e/pack_study.json: +20-33%
+# at every batch >= 1024 under the pipelined methodology; round 1's
+# "neutral below 8k" reading was an artifact of the relay-RTT-bound
+# per-call timing). The layout choice weighs this against padding waste.
+PACK_SPEEDUP = 1.25
 
 
 class Scenario(NamedTuple):
@@ -303,10 +313,13 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     n = 2 * m
     cdim = dynamics.CONTROL_DIM
     q, r, rho, qe = cfg.q_track, cfg.r_ctrl, cfg.rho, cfg.q_edge
-    # Sublane-packed batch tiles (8x128) for very large batches (measured
-    # +17% at 16k scenarios, neutral-to-slightly-negative below 8k where
-    # the XLA glue dominates); smaller batches stay lane-only (128).
-    pack = B >= 8192
+    # Layout choice: packed (8, 128) tiles run ~PACK_SPEEDUP faster per
+    # padded scenario than lane-only (128) tiles, so pick whichever
+    # minimizes padded-work / speed — packing engages once the batch
+    # roughly fills a 1024-scenario tile.
+    lane_padded = -(-B // sp.LANE) * sp.LANE
+    pack_padded = -(-B // (sp.SUB * sp.LANE)) * (sp.SUB * sp.LANE)
+    pack = pack_padded < PACK_SPEEDUP * lane_padded
     tile = sp.SUB * sp.LANE if pack else sp.LANE
     Bp = -(-B // tile) * tile
     bshape = (Bp // sp.LANE, sp.LANE) if pack else (Bp,)
