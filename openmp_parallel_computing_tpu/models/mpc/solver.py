@@ -47,12 +47,27 @@ from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
 _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
 
-# Measured speed ratio of the sublane-packed (8, 128) tile layout over
-# lane-only, per padded scenario (results/tpu_v5e/pack_study.json: +20-33%
-# at every batch >= 1024 under the pipelined methodology; round 1's
-# "neutral below 8k" reading was an artifact of the relay-RTT-bound
-# per-call timing). The layout choice weighs this against padding waste.
-PACK_SPEEDUP = 1.25
+# Measured per-scenario speed of the sublane-packed (8, 128) tile layout
+# relative to lane-only (results/tpu_v5e/pack_study.json: +20-33% at every
+# batch >= 1024 under the pipelined methodology; round 1's "neutral below
+# 8k" reading was an artifact of the relay-RTT-bound per-call timing).
+# Partial factors (2/4) were tried and measured SLOWER than lane-only at
+# 256 scenarios (6.43 vs 4.30 ms) — sub-8 blocks still occupy full (8,128)
+# register tiles, and Mosaic only lowers them at all when the batch is a
+# single packed tile — so the choice is binary.
+PACK_SPEED = {1: 1.0, 8: 1.25}
+
+
+def _choose_pack(B: int) -> int:
+    """Sublane factor (1 = lane-only) minimizing padded work / measured
+    layout speed for a batch of B scenarios."""
+    from openmp_parallel_computing_tpu.models.mpc import sweep_pallas as sp
+
+    def cost(s):
+        tile = s * sp.LANE
+        return (-(-B // tile) * tile) / PACK_SPEED[s]
+
+    return min(PACK_SPEED, key=cost)
 
 
 class Scenario(NamedTuple):
@@ -313,16 +328,14 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     n = 2 * m
     cdim = dynamics.CONTROL_DIM
     q, r, rho, qe = cfg.q_track, cfg.r_ctrl, cfg.rho, cfg.q_edge
-    # Layout choice: packed (8, 128) tiles run ~PACK_SPEEDUP faster per
-    # padded scenario than lane-only (128) tiles, so pick whichever
-    # minimizes padded-work / speed — packing engages once the batch
-    # roughly fills a 1024-scenario tile.
-    lane_padded = -(-B // sp.LANE) * sp.LANE
-    pack_padded = -(-B // (sp.SUB * sp.LANE)) * (sp.SUB * sp.LANE)
-    pack = pack_padded < PACK_SPEEDUP * lane_padded
-    tile = sp.SUB * sp.LANE if pack else sp.LANE
+    # Layout choice: sublane-packed (s, 128) tiles run up to ~1.25x faster
+    # per padded scenario than lane-only (128); pick the factor minimizing
+    # padded-work / measured speed (_choose_pack).
+    pack = _choose_pack(B)
+    tile = pack * sp.LANE
     Bp = -(-B // tile) * tile
-    bshape = (Bp // sp.LANE, sp.LANE) if pack else (Bp,)
+    bshape = (Bp // sp.LANE, sp.LANE) if pack > 1 else (Bp,)
+    pack = 0 if pack == 1 else pack
 
     def lanes(a, ndim):
         perm = tuple(range(1, ndim)) + (0,)

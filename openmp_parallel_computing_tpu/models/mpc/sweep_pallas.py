@@ -257,17 +257,19 @@ def _forward_sweep_kernel(p0_ref, ps_ref, us_ref, K_ref, k_ref, z_ref,
                   last_t=horizon - 1)
 
 
-# Sublane packing: with pack=True the batch occupies BOTH the sublane and
-# lane dimensions — tiles of SUB x LANE = 1024 scenarios whose every
-# elementwise op is a full (8, 128) vector tile, instead of the 1-2 busy
-# sublanes the row-sliced matrix ops otherwise use. Pure layout change
-# (trailing reshape of the lanes arrays); the kernels are batch-dim
-# agnostic.
+# Sublane packing: with pack >= 2 the batch occupies BOTH the sublane and
+# lane dimensions — tiles of pack x LANE scenarios whose elementwise ops
+# use `pack` sublanes of each (8, 128) vector tile, instead of the single
+# busy sublane the row-sliced lane-vector ops otherwise get (pack=8 makes
+# every op a full tile). Pure layout change (trailing reshape of the lanes
+# arrays); the kernels are batch-dim agnostic. ``pack=True`` is accepted
+# as 8 for backward compatibility.
 SUB = 8
 
 
-def _bshape(pack: bool) -> tuple[int, ...]:
-    return (SUB, LANE) if pack else (LANE,)
+def _bshape(pack) -> tuple[int, ...]:
+    s = SUB if pack is True else int(pack)
+    return (s, LANE) if s > 1 else (LANE,)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",

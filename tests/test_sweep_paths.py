@@ -58,6 +58,44 @@ def test_packed_layout_matches_unpacked(cfg):
         rtol=1e-4, atol=1e-4)
 
 
+def test_partial_sublane_factors_match(cfg, monkeypatch):
+    """Solver-level equivalence of every sublane factor the layout chooser
+    can pick (s = 2/4/8 vs lane-only) on one scenario batch."""
+    from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+    rng = np.random.default_rng(9)
+    edge = jnp.asarray(rng.uniform(0, 255, (32, 128)), jnp.float32)
+    mpc = VisualServoMPC(cfg)
+    scen = mpc.random_scenarios(jax.random.PRNGKey(7), 256)
+    results = {}
+    for s in (1, 2, 8):
+        monkeypatch.setattr(S, "_choose_pack", lambda B, s=s: s)
+        jax.clear_caches()
+        sol = mpc.solve_batch(edge, scen)
+        results[s] = (np.asarray(sol.us), np.asarray(sol.cost))
+    # s=2 only lowers on real TPUs when the batch is one packed tile (and
+    # measured slower there — see solver.PACK_SPEED); it stays covered here
+    # in interpret mode to keep the layout plumbing batch-dim agnostic.
+    for s in (2, 8):
+        np.testing.assert_allclose(results[s][0], results[1][0],
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(results[s][1], results[1][1],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_choose_pack_policy():
+    """The chooser weighs padding waste against measured layout speed."""
+    from openmp_parallel_computing_tpu.models.mpc.solver import _choose_pack
+
+    assert _choose_pack(128) == 1       # one lane tile; packing pads 8x
+    assert _choose_pack(256) == 1       # partial factors measured slower
+    assert _choose_pack(1024) == 8      # full packed tile
+    assert _choose_pack(8192) == 8
+    # padding-dominated: 8x waste overwhelms the 1.25x layout speed
+    assert _choose_pack(640) == 1
+    assert _choose_pack(900) == 8       # 1024-padded but speed wins
+
+
 def test_split_path_matches_unified(edge_map, cfg):
     """backward_sweep + forward_sweep == unified_sweep (the split pair is
     the fallback when the gains scratch exceeds VMEM)."""
