@@ -241,8 +241,8 @@ def make_handler(state: FrontendState):
                 return
             config = {}
             for name in ("horizon", "num_features", "ilqr_iters",
-                         "admm_iters", "scenarios_n"):
-                if name in fields and name != "scenarios_n":
+                         "admm_iters"):
+                if name in fields:
                     config[name] = int(str(fields[name]))
             frame = fields.get("frame")
             try:
