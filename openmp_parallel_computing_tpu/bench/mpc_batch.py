@@ -1,0 +1,78 @@
+"""Batch-ceiling sweep for the MPC engine: solves/s vs scenario batch.
+
+Same methodology as the repo-root ``bench.py`` headline (reference
+methodology contract: ``monolithic/scripts/bench_and_plot_monolithic.sh``
+sweep x runs, here batch x reps): each batch size runs a warm-start
+dependency chain of full control steps (fused 1080p perception + ADMM/iLQR
+solve in one jitted computation), so the device executes reps strictly in
+order and the final result-dependent fetch proves completion — per-call
+host syncs would measure the dev relay's ~30 ms RTT instead of the device
+(results/tpu_v5e/latency_floor.json).
+
+Usage: python -m openmp_parallel_computing_tpu.bench.mpc_batch \
+           [--batches 256,1024,8192] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(batch: int, reps: int, frame) -> dict:
+    from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    cfg = MPCConfig(horizon=20, num_features=8, scenarios=batch)
+    mpc = VisualServoMPC(cfg)
+    scen = mpc.random_scenarios(jax.random.PRNGKey(0), batch)
+    scen = jax.tree.map(jax.device_put, scen)
+
+    def step(s):
+        u0, sol = mpc.control_step(frame, s)
+        return u0, s._replace(us0=jnp.roll(sol.us, -1, axis=1))
+
+    u0, s = step(scen)
+    np.asarray(u0)                       # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u0, s = step(s)
+    np.asarray(u0)                       # result-dependent fetch
+    wall = time.perf_counter() - t0
+    assert np.all(np.isfinite(np.asarray(u0)))
+    ms = wall / reps * 1e3
+    return {"batch": batch, "ms": round(ms, 2),
+            "solves_per_s": int(batch * reps / wall),
+            "methodology": "pipelined warm-start chain, full control path"}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="256,1024,4096,8192,16384")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from openmp_parallel_computing_tpu import imgio
+
+    frame_hwc = imgio.load("/root/reference/images/test.jpg")
+    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+
+    rows = []
+    for b in (int(x) for x in args.batches.split(",")):
+        reps = max(4, min(args.reps, (8192 * args.reps) // max(b, 1) // 4))
+        row = measure(b, reps, frame)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,8 +89,13 @@ def backward(fx, fu, lx, lu, lxx, luu, lux, vx, vxx,
             Quu_reg, jnp.concatenate([Qu[..., None], Qux], axis=-1))
         kff = sol[..., 0]
         K = sol[..., 1:]
-        Vx_new = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
-        Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        # Simplified value update: with K = -Quu_reg^{-1} Qux and
+        # kff = -Quu_reg^{-1} Qu the quadratic/cross terms of the general
+        # form (Qx + K'Quu kff + K'Qu + Qux'kff) collapse exactly to
+        # Qux' kff (resp. Qux' K) — one tiny matmul instead of three. All
+        # solver backends use the same form (equivalence-tested).
+        Vx_new = Qx + Qux.T @ kff
+        Vxx_new = Qxx + Qux.T @ K
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
         dv1 = dv1 + kff @ Qu
         dv2 = dv2 + 0.5 * kff @ Quu @ kff

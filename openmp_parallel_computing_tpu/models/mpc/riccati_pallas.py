@@ -58,33 +58,38 @@ def _mv(a, v, ka: int):
 
 
 def _spd_solve_lanes(A, B, n: int):
-    """Solve A X = B with A (n, n, *Bt) SPD, B (n, k, *Bt): fully unrolled
-    Cholesky over batch vectors."""
-    L = [[None] * n for _ in range(n)]
+    """Solve A X = B with A (n, n, *Bt) SPD, B (n, k, *Bt): unrolled
+    column-oriented Cholesky over batch vectors.
+
+    The factorization is column-at-a-time: each column update is ONE
+    (n, *Bt) FMA instead of the n scalar-row (1, *Bt) ops of the classic
+    element form, so the VPU issue count drops ~2x and every op covers n
+    sublanes instead of one. ``cols[j]`` holds d_j at row j and L[i][j]
+    below it; rows above j carry garbage that never crosses into valid
+    rows (all ops are row-aligned). Divisions in the triangular solves
+    are replaced by multiplies with the cached 1/d_j.
+    """
+    cols = []                       # cols[j]: (n, *Bt)
+    inv_d = []                      # (1, *Bt) reciprocals of the pivots
     for j in range(n):
-        s = A[j, j, ...]
+        s = A[:, j, ...]
         for p in range(j):
-            s = s - L[j][p] * L[j][p]
-        d = jnp.sqrt(s)
-        L[j][j] = d
-        inv_d = 1.0 / d
-        for i in range(j + 1, n):
-            s = A[i, j, ...]
-            for p in range(j):
-                s = s - L[i][p] * L[j][p]
-            L[i][j] = s * inv_d
+            s = s - cols[p] * cols[p][j:j + 1, ...]
+        r = 1.0 / jnp.sqrt(s[j:j + 1, ...])
+        cols.append(s * r)          # row j: pivot/sqrt(pivot) = d_j
+        inv_d.append(r)
     Y = [None] * n
     for i in range(n):
         s = B[i, :, ...]
         for p in range(i):
-            s = s - L[i][p][None, ...] * Y[p]
-        Y[i] = s / L[i][i][None, ...]
+            s = s - cols[p][i:i + 1, ...] * Y[p]
+        Y[i] = s * inv_d[i]
     X = [None] * n
     for i in reversed(range(n)):
         s = Y[i]
         for p in range(i + 1, n):
-            s = s - L[p][i][None, ...] * X[p]
-        X[i] = s / L[i][i][None, ...]
+            s = s - cols[i][p:p + 1, ...] * X[p]
+        X[i] = s * inv_d[i]
     return jnp.concatenate([x[None] for x in X], axis=0)  # (n, k, *Bt)
 
 
@@ -125,15 +130,12 @@ def _backward_kernel(fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
     kff = sol[:, 0, :]                                    # (c, Bt)
     K = sol[:, 1:, :]                                     # (c, n, Bt)
 
-    KT = jnp.concatenate([K[:, i, :][None] for i in range(n)], axis=0)
     QuxT = jnp.concatenate([Qux[:, i, :][None] for i in range(n)], axis=0)
 
-    Quu_kff = _mv(Quu, kff, c)                            # (c, Bt)
-    Vx_new = (Qx + _mv(KT, Quu_kff, c) + _mv(KT, Qu, c)
-              + _mv(QuxT, kff, c))
-    Quu_K = _mm(Quu, K, c)                                # (c, n, Bt)
-    Vxx_new = (Qxx + _mm(KT, Quu_K, c) + _mm(KT, Qux, c)
-               + _mm(QuxT, K, c))
+    # Simplified value update (exact identity given K/kff solve against
+    # Quu_reg; same form in every backend — see riccati.backward).
+    Vx_new = Qx + _mv(QuxT, kff, c)
+    Vxx_new = Qxx + _mm(QuxT, K, c)
     Vxx_newT = jnp.concatenate(
         [Vxx_new[:, i, :][None] for i in range(n)], axis=0)
     Vxx_new = 0.5 * (Vxx_new + Vxx_newT)

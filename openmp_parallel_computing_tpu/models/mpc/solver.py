@@ -58,6 +58,20 @@ _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
 PACK_SPEED = {1: 1.0, 8: 1.25}
 
 
+def _to_split(a):
+    """Permute the trailing state axis from the public interleaved order
+    [x0, y0, x1, y1, ...] to the sweep kernels' split order
+    [x0..x_{m-1}, y0..y_{m-1}] (see sweep_pallas module docstring)."""
+    s = a.shape
+    return a.reshape(s[:-1] + (-1, 2)).swapaxes(-1, -2).reshape(s)
+
+
+def _from_split(a):
+    """Inverse of :func:`_to_split`."""
+    s = a.shape
+    return a.reshape(s[:-1] + (2, -1)).swapaxes(-1, -2).reshape(s)
+
+
 def _choose_pack(B: int) -> int:
     """Sublane factor (1 = lane-only) minimizing padded work / measured
     layout speed for a batch of B scenarios."""
@@ -349,8 +363,9 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
         perm = (lead_dims,) + tuple(range(lead_dims))
         return jnp.transpose(a, perm)[:B]
 
-    p0_l = lanes(scen.p0, 2)               # (n, *bshape)
-    target_l = lanes(scen.target, 2)
+    # State-axis arrays enter lanes land in the kernels' split order.
+    p0_l = lanes(_to_split(scen.p0), 2)    # (n, *bshape)
+    target_l = lanes(_to_split(scen.target), 2)
     izd = 1.0 / scen.depth                 # padding lanes get depth 1.0
     izd = jnp.pad(jnp.transpose(izd, (1, 0)), ((0, 0), (0, Bp - B)),
                   constant_values=1.0)
@@ -360,11 +375,16 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     kw = dict(m=m, q=q, r=r, rho=rho, qe=qe, dt=cfg.dt, pack=pack)
 
     def edge_grads(ps_l):
-        """Pyramid value+grad at the nominal trajectory -> lanes layout."""
+        """Pyramid value+grad at the nominal trajectory -> lanes layout.
+
+        The pyramid sampler works in the public interleaved state order;
+        the lanes-land trajectory is split-ordered, so permute on the way
+        out and back."""
         if not qe:
             return (None, jnp.zeros((h + 1, n) + bshape, jnp.float32))
-        ps_b = unlanes(ps_l, 2)                     # (B, h+1, n)
+        ps_b = _from_split(unlanes(ps_l, 2))        # (B, h+1, n)
         _, g = _edge_vg_batch(pyramid, ps_b, shape)
+        g = _to_split(g)
         g_l = jnp.pad(jnp.transpose(g, (1, 2, 0)),
                       ((0, 0), (0, 0), (0, Bp - B)))
         return None, g_l.reshape(g_l.shape[:-1] + bshape)
@@ -444,7 +464,7 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     # Final feasible controls + their true trajectory/cost.
     ps_final_l = rollout_nominal(z_l, z_l, y_l)
     us = unlanes(z_l, 2)
-    ps = unlanes(ps_final_l, 2)
+    ps = _from_split(unlanes(ps_final_l, 2))
     track = q * jnp.sum((ps - scen.target[:, None]) ** 2, axis=(1, 2))
     ctrl = r * jnp.sum(us ** 2, axis=(1, 2))
     if qe:

@@ -14,6 +14,14 @@ ps (H+1, n, B), us/z/y (H, c, B), gains K (H, c, n, B). The solver keeps
 this layout across the whole ADMM loop and transposes only at the
 boundaries (scenario ingest, edge sampling, results).
 
+State axis: SPLIT order [x_0..x_{m-1}, y_0..y_{m-1}] rather than the
+public interleaved [x_0, y_0, ...] (the solver permutes at the lanes
+boundary). Split order makes the coordinate planes contiguous slices and
+turns the IBVS Jacobian into four diagonal m x m blocks, so applying fx
+or fx^T anywhere in the recursion is a handful of (.., m, B)-wide FMAs
+instead of an n-term dense matmul (``_fx_coeffs``/``_fx_right``/
+``_fxT_left``).
+
 Line search: candidates alpha = (0, 1, 0.5, 0.25). alpha=0 reproduces the
 nominal trajectory exactly (u = u_nom + K(p - p_nom) stays u_nom when p
 tracks p_nom), so the "did anything improve" comparison is just the argmin
@@ -43,68 +51,82 @@ CONTROL_DIM = 6
 
 
 def _features(p, m: int):
-    """Split a (n, *B) state block into x (m, *B), y (m, *B).
+    """Split a (n, *B) SPLIT-layout state block into x (m, *B), y (m, *B).
 
-    Explicit row rebuild instead of strided slicing — Mosaic lowers
-    ``p[0::2]`` to an unsupported gather. ``*B`` is one or more trailing
-    batch dims (lanes, or sublanes x lanes when packed)."""
-    x = jnp.concatenate([p[2 * i:2 * i + 1, ...] for i in range(m)], axis=0)
-    y = jnp.concatenate([p[2 * i + 1:2 * i + 2, ...] for i in range(m)],
-                        axis=0)
-    return x, y
+    The sweep kernels keep the state axis in split order
+    ``[x_0..x_{m-1}, y_0..y_{m-1}]`` (the solver permutes from the
+    interleaved public layout at the lanes boundary), so the coordinate
+    planes are plain contiguous slices — no row rebuilds — and the IBVS
+    Jacobian becomes four diagonal blocks (see ``_fx_coeffs``). ``*B`` is
+    one or more trailing batch dims (lanes, or sublanes x lanes when
+    packed)."""
+    return p[:m, ...], p[m:, ...]
 
 
-def _build_fx_fu(p, u, inv_depth, dt: float, m: int):
-    """Closed-form IBVS linearization on lane vectors.
+def _fx_coeffs(p, u, inv_depth, dt: float, m: int):
+    """Diagonal-block coefficients of the IBVS state Jacobian.
 
-    p (n, B), u (c, B), inv_depth (m, B) -> fx (n, n, B), fu (n, c, B).
-    Mirrors ``dynamics.linearize_analytic`` exactly.
-    """
-    n = 2 * m
-    x, y = _features(p, m)                      # (m, *B)
+    In split layout fx = [[diag(A), diag(Bc)], [diag(C), diag(D)]] — the
+    per-feature 2x2 blocks of ``dynamics.linearize_analytic`` become four
+    diagonal m x m blocks, so applying fx (or its transpose) to anything
+    is four wide FMAs instead of an n-term dense matmul. Returns
+    (A, Bc, C, D), each (m, *B)."""
+    x, y = _features(p, m)
     vz, wx, wy, wz = u[2:3], u[3:4], u[4:5], u[5:6]  # (1, *B)
-    iz = inv_depth                              # (m, *B)
+    iz = inv_depth
+    A = 1.0 + dt * (vz * iz + y * wx - 2.0 * x * wy)
+    Bc = dt * (x * wx + wz)
+    C = dt * (-y * wy - wz)
+    D = 1.0 + dt * (vz * iz + 2.0 * y * wx - x * wy)
+    return A, Bc, C, D
 
-    a = dt * (vz * iz + y * wx - 2.0 * x * wy)  # dxdot/dx * dt
-    b = dt * (x * wx + wz)
-    c2 = dt * (-y * wy - wz)
-    d = dt * (vz * iz + 2.0 * y * wx - x * wy)
 
-    Bdims = p.shape[1:]
-    zero1 = lambda k: jnp.zeros((1, k) + Bdims, jnp.float32)
-    col = lambda v: v[:, None, ...]             # (1,*B) -> (1,1,*B)
-    fx_rows = []
-    for i in range(m):
-        left, right = 2 * i, n - 2 * i - 2
-        row_x = [jnp.concatenate(
-            ([zero1(left)] if left else [])
-            + [col(1.0 + a[i:i + 1, ...]), col(b[i:i + 1, ...])]
-            + ([zero1(right)] if right else []), axis=1)]
-        row_y = [jnp.concatenate(
-            ([zero1(left)] if left else [])
-            + [col(c2[i:i + 1, ...]), col(1.0 + d[i:i + 1, ...])]
-            + ([zero1(right)] if right else []), axis=1)]
-        fx_rows += row_x + row_y
-    fx = jnp.concatenate(fx_rows, axis=0)       # (n, n, *B)
+def _fx_right(M, A, Bc, C, D, m: int):
+    """M @ fx for M (p, n, *B) with fx in diagonal-block form: the two
+    output column blocks are 2 wide FMAs each (out[:, :m] =
+    M[:, :m] A + M[:, m:] C, mirrored for the right half) instead of n
+    dense FMA columns."""
+    Ml, Mr = M[:, :m, ...], M[:, m:, ...]
+    left = Ml * A[None] + Mr * C[None]
+    right = Ml * Bc[None] + Mr * D[None]
+    return jnp.concatenate([left, right], axis=1)
 
-    one = jnp.ones((1,) + Bdims, jnp.float32)
-    zv = jnp.zeros((1,) + Bdims, jnp.float32)
-    fu_rows = []
-    for i in range(m):
-        xi, yi, izi = x[i:i + 1], y[i:i + 1], iz[i:i + 1]
-        row_x = jnp.concatenate([
-            col(-izi), col(zv), col(xi * izi),
-            col(xi * yi), col(-(one + xi * xi)), col(yi)], axis=1)
-        row_y = jnp.concatenate([
-            col(zv), col(-izi), col(yi * izi),
-            col(one + yi * yi), col(-(xi * yi)), col(-xi)], axis=1)
-        fu_rows += [row_x, row_y]
-    fu = dt * jnp.concatenate(fu_rows, axis=0)  # (n, c, *B)
-    return fx, fu
+
+def _fxT_left(M, A, Bc, C, D, m: int):
+    """fx^T @ M for M (n, q, *B): row blocks scale by the transposed
+    diagonal blocks (fx^T = [[diag(A), diag(C)], [diag(Bc), diag(D)]])."""
+    Mt, Mb = M[:m, ...], M[m:, ...]
+    top = A[:, None, ...] * Mt + C[:, None, ...] * Mb
+    bot = Bc[:, None, ...] * Mt + D[:, None, ...] * Mb
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _fxT_vec(v, A, Bc, C, D, m: int):
+    """fx^T @ v for v (n, *B)."""
+    vt, vb = v[:m, ...], v[m:, ...]
+    return jnp.concatenate([A * vt + C * vb, Bc * vt + D * vb], axis=0)
+
+
+def _build_fu(p, inv_depth, dt: float, m: int):
+    """Control Jacobian in split row order: fu (n, c, *B), x-plane rows
+    first. Columns mirror ``dynamics.linearize_analytic``; built as two
+    (m, c, *B) blocks vectorized over the feature dimension."""
+    x, y = _features(p, m)
+    iz = inv_depth
+    one = jnp.ones_like(x)
+    zv = jnp.zeros_like(x)
+    col = lambda v: v[:, None, ...]             # (m,*B) -> (m,1,*B)
+    fu_x = jnp.concatenate([
+        col(-iz), col(zv), col(x * iz),
+        col(x * y), col(-(one + x * x)), col(y)], axis=1)
+    fu_y = jnp.concatenate([
+        col(zv), col(-iz), col(y * iz),
+        col(one + y * y), col(-(x * y)), col(-x)], axis=1)
+    return dt * jnp.concatenate([fu_x, fu_y], axis=0)
 
 
 def _dyn_step(p, u, inv_depth, dt: float, m: int):
-    """p' = p + dt * L(p) u on lane vectors. p (n,B), u (c,B)."""
+    """p' = p + dt * L(p) u on lane vectors, split layout. p (n,B)."""
     x, y = _features(p, m)
     vx, vy, vz = u[0:1], u[1:2], u[2:3]
     wx, wy, wz = u[3:4], u[4:5], u[5:6]
@@ -118,12 +140,7 @@ def _dyn_step(p, u, inv_depth, dt: float, m: int):
     lim = STATE_LIMIT
     nxt_x = jnp.clip(x + dt * xdot, -lim, lim)
     nxt_y = jnp.clip(y + dt * ydot, -lim, lim)
-    # interleave back to (n, B)
-    rows = []
-    for i in range(m):
-        rows.append(nxt_x[i:i + 1])
-        rows.append(nxt_y[i:i + 1])
-    return jnp.concatenate(rows, axis=0)
+    return jnp.concatenate([nxt_x, nxt_y], axis=0)
 
 
 def _tp(a, n: int):
@@ -142,28 +159,29 @@ def _backward_step(p_t, u_t, z_t, y_t, g_t, izd, target, Vx, Vxx, *,
     Returns (K, kff, Vx_new, Vxx_new).
     """
     n, c = 2 * m, CONTROL_DIM
-    fx, fu = _build_fx_fu(p_t, u_t, izd, dt, m)
+    Af, Bf, Cf, Df = _fx_coeffs(p_t, u_t, izd, dt, m)
+    fu = _build_fu(p_t, izd, dt, m)
     lx = 2.0 * q * (p_t - target) + qe * g_t
     lu = 2.0 * r * u_t + rho * (u_t - z_t + y_t)
-    fxT = _tp(fx, n)
     fuT = _tp(fu, c)
-    Vxx_fx = _mm(Vxx, fx, n)
-    Vxx_fu = _mm(Vxx, fu, n)
-    Qx = lx + _mv(fxT, Vx, n)
+    # fx is applied structurally (4 diagonal blocks -> wide FMAs) and the
+    # value update uses the simplified exact identities (Vx' = Qx + Qux'k,
+    # Vxx' = Qxx + Qux'K) — see riccati.backward; together they replace
+    # five n-term dense matmuls per step with two.
+    Qx = lx + _fxT_vec(Vx, Af, Bf, Cf, Df, m)
     Qu = lu + _mv(fuT, Vx, n)
-    Qxx = 2.0 * q * eye_fn(n) + _mm(fxT, Vxx_fx, n)
-    Quu = (2.0 * r + rho + reg) * eye_fn(c) + _mm(fuT, Vxx_fu, n)
-    Qux = _mm(fuT, Vxx_fx, n)
+    Qxx = 2.0 * q * eye_fn(n) + _fxT_left(
+        _fx_right(Vxx, Af, Bf, Cf, Df, m), Af, Bf, Cf, Df, m)
+    U = _mm(fuT, Vxx, n)                      # fu^T Vxx (c, n, *B)
+    Quu = (2.0 * r + rho + reg) * eye_fn(c) + _mm(U, fu, n)
+    Qux = _fx_right(U, Af, Bf, Cf, Df, m)     # (fu^T Vxx) fx
     rhs = jnp.concatenate([Qu[:, None, ...], Qux], axis=1)
     sol = -_spd_solve_lanes(Quu, rhs, c)
     kff = sol[:, 0, ...]
     K = sol[:, 1:, ...]
-    KT = _tp(K, n)
     QuxT = _tp(Qux, n)
-    Quu_kff = _mv(Quu, kff, c)
-    Vx_new = Qx + _mv(KT, Quu_kff, c) + _mv(KT, Qu, c) + _mv(QuxT, kff, c)
-    Quu_K = _mm(Quu, K, c)
-    Vxx_new = Qxx + _mm(KT, Quu_K, c) + _mm(KT, Qux, c) + _mm(QuxT, K, c)
+    Vx_new = Qx + _mv(QuxT, kff, c)
+    Vxx_new = Qxx + _mm(QuxT, K, c)
     Vxx_new = 0.5 * (Vxx_new + _tp(Vxx_new, n))
     return K, kff, Vx_new, Vxx_new
 
