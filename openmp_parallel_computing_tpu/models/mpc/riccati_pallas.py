@@ -57,6 +57,47 @@ def _mv(a, v, ka: int):
     return out
 
 
+def _mtm(a, b, ka: int):
+    """a^T @ b WITHOUT materializing a^T: a (ka, p, *B), b (ka, q, *B) ->
+    (p, q, *B) as a sum of ka broadcasted outer products. Row-rebuild
+    transposes (`jnp.concatenate` of row slices) are multi-tile relayout
+    copies on TPU; summing outer products reads both operands in their
+    native layout.
+
+    NB the two-step subscripts (``a[k][:, None, ...]``, never
+    ``a[k, :, None, ...]``): mixing an integer index with ``None`` in ONE
+    subscript routes through jnp's advanced-indexing path and emits a
+    ``gather`` — unsupported >2D in Mosaic (interpret mode hides it).
+    Split subscripts lower to slice+squeeze+broadcast."""
+    out = a[0][:, None, ...] * b[0][None, :, ...]
+    for k in range(1, ka):
+        out = out + a[k][:, None, ...] * b[k][None, :, ...]
+    return out
+
+
+def _mtv(a, v, ka: int):
+    """a^T @ v without materializing a^T: a (ka, p, *B), v (ka, *B) ->
+    (p, *B)."""
+    out = a[0] * v[0:1, ...]
+    for k in range(1, ka):
+        out = out + a[k] * v[k:k + 1, ...]
+    return out
+
+
+def _sym_outer_sum(a, b, ka: int):
+    """0.5 * (a^T b + b^T a) built symmetric BY CONSTRUCTION: a/b
+    (ka, p, *B) -> (p, p, *B). Replaces computing a^T b followed by an
+    explicit 0.5*(M + M^T) transpose-symmetrization (a p-row relayout
+    rebuild) with ka extra FMAs. Subscripts split as in :func:`_mtm` to
+    avoid Mosaic-unsupported gathers."""
+    a0b0 = a[0][:, None, ...] * b[0][None, :, ...]
+    out = a0b0 + b[0][:, None, ...] * a[0][None, :, ...]
+    for k in range(1, ka):
+        out = out + a[k][:, None, ...] * b[k][None, :, ...]
+        out = out + b[k][:, None, ...] * a[k][None, :, ...]
+    return 0.5 * out
+
+
 def _spd_solve_lanes(A, B, n: int):
     """Solve A X = B with A (n, n, *Bt) SPD, B (n, k, *Bt): unrolled
     column-oriented Cholesky over batch vectors.
@@ -108,18 +149,16 @@ def _backward_kernel(fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
     Vx = Vx_scr[...]        # (n, Bt)
     Vxx = Vxx_scr[...]      # (n, n, Bt)
 
-    # fx^T / fu^T rows as explicit slices (transpose via unrolled rebuild).
-    fxT = jnp.concatenate([fx[:, i, :][None] for i in range(n)], axis=0)
-    fuT = jnp.concatenate([fu[:, i, :][None] for i in range(c)], axis=0)
-
+    # Transposed products as outer-product sums — f^T is never
+    # materialized (row-rebuild transposes are multi-tile relayouts).
     Vxx_fx = _mm(Vxx, fx, n)              # (n, n, Bt)
     Vxx_fu = _mm(Vxx, fu, n)              # (n, c, Bt)
 
-    Qx = lx_ref[0] + _mv(fxT, Vx, n)      # (n, Bt)
-    Qu = lu_ref[0] + _mv(fuT, Vx, n)      # (c, Bt)
-    Qxx = lxx_ref[0] + _mm(fxT, Vxx_fx, n)
-    Quu = luu_ref[0] + _mm(fuT, Vxx_fu, n)
-    Qux = lux_ref[0] + _mm(fuT, Vxx_fx, n)
+    Qx = lx_ref[0] + _mtv(fx, Vx, n)      # (n, Bt)
+    Qu = lu_ref[0] + _mtv(fu, Vx, n)      # (c, Bt)
+    Qxx = lxx_ref[0] + _mtm(fx, Vxx_fx, n)
+    Quu = luu_ref[0] + _mtm(fu, Vxx_fu, n)
+    Qux = lux_ref[0] + _mtm(fu, Vxx_fx, n)
 
     eye = jax.lax.broadcasted_iota(jnp.int32, (c, c, 1), 0) == \
         jax.lax.broadcasted_iota(jnp.int32, (c, c, 1), 1)
@@ -130,15 +169,13 @@ def _backward_kernel(fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
     kff = sol[:, 0, :]                                    # (c, Bt)
     K = sol[:, 1:, :]                                     # (c, n, Bt)
 
-    QuxT = jnp.concatenate([Qux[:, i, :][None] for i in range(n)], axis=0)
-
     # Simplified value update (exact identity given K/kff solve against
-    # Quu_reg; same form in every backend — see riccati.backward).
-    Vx_new = Qx + _mv(QuxT, kff, c)
-    Vxx_new = Qxx + _mm(QuxT, K, c)
-    Vxx_newT = jnp.concatenate(
-        [Vxx_new[:, i, :][None] for i in range(n)], axis=0)
-    Vxx_new = 0.5 * (Vxx_new + Vxx_newT)
+    # Quu_reg; same form in every backend — see riccati.backward). The
+    # Qux^T K correction is built symmetric by construction, so no
+    # explicit transpose-symmetrization pass is needed (the remaining
+    # asymmetry in Qxx's fx-sandwich is fp-ulp noise).
+    Vx_new = Qx + _mtv(Qux, kff, c)
+    Vxx_new = Qxx + _sym_outer_sum(Qux, K, c)
 
     Vx_scr[...] = Vx_new
     Vxx_scr[...] = Vxx_new

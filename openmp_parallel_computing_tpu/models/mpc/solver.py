@@ -48,14 +48,17 @@ from openmp_parallel_computing_tpu.utils.config import MPCConfig
 _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
 
 # Measured per-scenario speed of the sublane-packed (8, 128) tile layout
-# relative to lane-only (results/tpu_v5e/pack_study.json: +20-33% at every
-# batch >= 1024 under the pipelined methodology; round 1's "neutral below
-# 8k" reading was an artifact of the relay-RTT-bound per-call timing).
+# relative to lane-only. History: +20-33% on the pre-structural kernels
+# (results/tpu_v5e/pack_study.json); the structural split-layout rewrite
+# (docs/DESIGN.md §2c) made lane-only nearly as fast — its wide (m, B)
+# FMAs already fill sublanes — so the re-measured ratio is ~1.02
+# (pack_study_r2c.json). Packed still wins at exact tile multiples (zero
+# extra padding), which is where the peak throughput is measured.
 # Partial factors (2/4) were tried and measured SLOWER than lane-only at
 # 256 scenarios (6.43 vs 4.30 ms) — sub-8 blocks still occupy full (8,128)
 # register tiles, and Mosaic only lowers them at all when the batch is a
 # single packed tile — so the choice is binary.
-PACK_SPEED = {1: 1.0, 8: 1.25}
+PACK_SPEED = {1: 1.0, 8: 1.02}
 
 
 def _to_split(a):

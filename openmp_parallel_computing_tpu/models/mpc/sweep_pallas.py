@@ -40,8 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 from openmp_parallel_computing_tpu.models.mpc.dynamics import STATE_LIMIT
 from openmp_parallel_computing_tpu.models.mpc.riccati_pallas import (
     _mm,
+    _mtm,
+    _mtv,
     _mv,
     _spd_solve_lanes,
+    _sym_outer_sum,
 )
 from openmp_parallel_computing_tpu.ops._tiling import interpret_mode
 
@@ -143,12 +146,6 @@ def _dyn_step(p, u, inv_depth, dt: float, m: int):
     return jnp.concatenate([nxt_x, nxt_y], axis=0)
 
 
-def _tp(a, n: int):
-    """(p, q, *B) -> (q, p, *B) small transpose by row rebuild."""
-    return jnp.concatenate([a[:, i, ...][None] for i in range(n)], axis=0)
-
-
-
 def _backward_step(p_t, u_t, z_t, y_t, g_t, izd, target, Vx, Vxx, *,
                    m: int, q: float, r: float, rho: float, qe: float,
                    dt: float, reg: float, eye_fn):
@@ -163,26 +160,25 @@ def _backward_step(p_t, u_t, z_t, y_t, g_t, izd, target, Vx, Vxx, *,
     fu = _build_fu(p_t, izd, dt, m)
     lx = 2.0 * q * (p_t - target) + qe * g_t
     lu = 2.0 * r * u_t + rho * (u_t - z_t + y_t)
-    fuT = _tp(fu, c)
-    # fx is applied structurally (4 diagonal blocks -> wide FMAs) and the
-    # value update uses the simplified exact identities (Vx' = Qx + Qux'k,
-    # Vxx' = Qxx + Qux'K) — see riccati.backward; together they replace
-    # five n-term dense matmuls per step with two.
+    # fx is applied structurally (4 diagonal blocks -> wide FMAs), fu^T /
+    # Qux^T products are outer-product sums (no materialized transposes),
+    # and the value update uses the simplified exact identities
+    # (Vx' = Qx + Qux'k, Vxx' = Qxx + Qux'K) — see riccati.backward;
+    # together they replace five n-term dense matmuls per step with two
+    # and eliminate every relayout-copy transpose from the recursion.
     Qx = lx + _fxT_vec(Vx, Af, Bf, Cf, Df, m)
-    Qu = lu + _mv(fuT, Vx, n)
+    Qu = lu + _mtv(fu, Vx, n)
     Qxx = 2.0 * q * eye_fn(n) + _fxT_left(
         _fx_right(Vxx, Af, Bf, Cf, Df, m), Af, Bf, Cf, Df, m)
-    U = _mm(fuT, Vxx, n)                      # fu^T Vxx (c, n, *B)
+    U = _mtm(fu, Vxx, n)                      # fu^T Vxx (c, n, *B)
     Quu = (2.0 * r + rho + reg) * eye_fn(c) + _mm(U, fu, n)
     Qux = _fx_right(U, Af, Bf, Cf, Df, m)     # (fu^T Vxx) fx
     rhs = jnp.concatenate([Qu[:, None, ...], Qux], axis=1)
     sol = -_spd_solve_lanes(Quu, rhs, c)
     kff = sol[:, 0, ...]
     K = sol[:, 1:, ...]
-    QuxT = _tp(Qux, n)
-    Vx_new = Qx + _mv(QuxT, kff, c)
-    Vxx_new = Qxx + _mm(QuxT, K, c)
-    Vxx_new = 0.5 * (Vxx_new + _tp(Vxx_new, n))
+    Vx_new = Qx + _mtv(Qux, kff, c)
+    Vxx_new = Qxx + _sym_outer_sum(Qux, K, c)
     return K, kff, Vx_new, Vxx_new
 
 
