@@ -84,18 +84,6 @@ def _mtv(a, v, ka: int):
     return out
 
 
-def _sym_outer_sum(a, b, ka: int):
-    """0.5 * (a^T b + b^T a) built symmetric BY CONSTRUCTION: a/b
-    (ka, p, *B) -> (p, p, *B). Replaces computing a^T b followed by an
-    explicit 0.5*(M + M^T) transpose-symmetrization (a p-row relayout
-    rebuild) with ka extra FMAs. Subscripts split as in :func:`_mtm` to
-    avoid Mosaic-unsupported gathers."""
-    a0b0 = a[0][:, None, ...] * b[0][None, :, ...]
-    out = a0b0 + b[0][:, None, ...] * a[0][None, :, ...]
-    for k in range(1, ka):
-        out = out + a[k][:, None, ...] * b[k][None, :, ...]
-        out = out + b[k][:, None, ...] * a[k][None, :, ...]
-    return 0.5 * out
 
 
 def _spd_solve_lanes(A, B, n: int):
@@ -170,12 +158,12 @@ def _backward_kernel(fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
     K = sol[:, 1:, :]                                     # (c, n, Bt)
 
     # Simplified value update (exact identity given K/kff solve against
-    # Quu_reg; same form in every backend — see riccati.backward). The
-    # Qux^T K correction is built symmetric by construction, so no
-    # explicit transpose-symmetrization pass is needed (the remaining
-    # asymmetry in Qxx's fx-sandwich is fp-ulp noise).
+    # Quu_reg; same form in every backend — see riccati.backward). No
+    # explicit symmetrization: Qux^T K is symmetric up to fp-ulp noise
+    # and the Cholesky consumes the matrix as if symmetric (see
+    # sweep_pallas._backward_step).
     Vx_new = Qx + _mtv(Qux, kff, c)
-    Vxx_new = Qxx + _sym_outer_sum(Qux, K, c)
+    Vxx_new = Qxx + _mtm(Qux, K, c)
 
     Vx_scr[...] = Vx_new
     Vxx_scr[...] = Vxx_new

@@ -44,7 +44,6 @@ from openmp_parallel_computing_tpu.models.mpc.riccati_pallas import (
     _mtv,
     _mv,
     _spd_solve_lanes,
-    _sym_outer_sum,
 )
 from openmp_parallel_computing_tpu.ops._tiling import interpret_mode
 
@@ -178,7 +177,12 @@ def _backward_step(p_t, u_t, z_t, y_t, g_t, izd, target, Vx, Vxx, *,
     kff = sol[:, 0, ...]
     K = sol[:, 1:, ...]
     Vx_new = Qx + _mtv(Qux, kff, c)
-    Vxx_new = Qxx + _sym_outer_sum(Qux, K, c)
+    # No explicit symmetrization: Qux^T K = -Qux^T Quu_reg^{-1} Qux is
+    # symmetric up to fp-ulp noise (as is Qxx's fx sandwich), and the
+    # Cholesky consumes the matrix as if symmetric — measured identical
+    # solver quality, and the 0.5(M + M^T) pass was the single biggest
+    # mul block in the kernel (6 extra (n, n, B) FMAs per step).
+    Vxx_new = Qxx + _mtm(Qux, K, c)
     return K, kff, Vx_new, Vxx_new
 
 
