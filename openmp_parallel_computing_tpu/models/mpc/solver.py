@@ -176,16 +176,22 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
     rho = cfg.rho
     eye_c = jnp.eye(cdim, dtype=jnp.float32)
 
-    def ilqr_once(us, z, y):
+    def sample_edge(us):
+        """Edge value+grad linearized at the trajectory of ``us``."""
+        ps_s = dynamics.rollout(scen.p0, us, scen.depth, cfg.dt)
+        if cfg.q_edge:
+            return edge_val_grad(ps_s)
+        return jnp.zeros(ps_s.shape[0], ps_s.dtype), jnp.zeros_like(ps_s)
+
+    def ilqr_once(us, z, y, eg=None):
         ps = dynamics.rollout(scen.p0, us, scen.depth, cfg.dt)
         fx, fu = jax.vmap(
             lambda p, u: dynamics.linearize_analytic(p, u, scen.depth,
                                                      cfg.dt))(ps[:-1], us)
-        if cfg.q_edge:
-            e_ref, g_ref = edge_val_grad(ps)        # one sampling per sweep
-        else:
-            e_ref = jnp.zeros(ps.shape[0], ps.dtype)
-            g_ref = jnp.zeros_like(ps)
+        # eg: stale linearization shared across sweeps (edge_refresh=
+        # "admm"); the constant offset e_ref(at the sampling trajectory)
+        # cancels in the line-search comparisons.
+        e_ref, g_ref = eg if eg is not None else sample_edge(us)
         lx, lu, lxx, luu, lux, vx, vxx = expand(ps, us, edge_grads=g_ref)
         # Analytic expansion of the ADMM penalty 0.5*rho*||u - z + y||^2.
         lu = lu + rho * (us - z + y)
@@ -212,8 +218,9 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
 
     def admm_body(carry, _):
         us, z, y = carry
+        eg = sample_edge(us) if cfg.edge_refresh == "admm" else None
         us = jax.lax.fori_loop(
-            0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y), us)
+            0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y, eg), us)
         z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
         y = y + us - z
         return (us, z, y), None
@@ -264,14 +271,16 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
         ctrl = r * jnp.sum(us ** 2, axis=(1, 2))
         return track + ctrl
 
-    def ilqr_once(us, z, y):
+    def sample_edge(us):
+        ps_s = rollout_b(scen.p0, us, scen.depth)
+        if qe:
+            return _edge_vg_batch(pyramid, ps_s, shape)
+        return jnp.zeros(ps_s.shape[:2], ps_s.dtype), jnp.zeros_like(ps_s)
+
+    def ilqr_once(us, z, y, eg=None):
         ps = rollout_b(scen.p0, us, scen.depth)
         fx, fu = lin_b(ps[:, :-1], us, scen.depth)
-        if qe:
-            e_ref, g_ref = _edge_vg_batch(pyramid, ps, shape)
-        else:
-            e_ref = jnp.zeros(ps.shape[:2], ps.dtype)
-            g_ref = jnp.zeros_like(ps)
+        e_ref, g_ref = eg if eg is not None else sample_edge(us)
         lx = 2.0 * q * (ps[:, :-1] - target[:, None]) + qe * g_ref[:, :-1]
         lu = 2.0 * r * us + rho * (us - z + y)
         lxx = jnp.broadcast_to(2.0 * q * eye_n, (B, h, n, n))
@@ -307,8 +316,9 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
 
     def admm_body(carry, _):
         us, z, y = carry
+        eg = sample_edge(us) if cfg.edge_refresh == "admm" else None
         us = jax.lax.fori_loop(
-            0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y), us)
+            0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y, eg), us)
         z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
         y = y + us - z
         return (us, z, y), None
@@ -428,10 +438,18 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     gains_scratch = (h * cdim * (n + 1) + n * n + n
                      + len(sp.ALPHAS) * (n + 1)) * tile * 4
     use_unified = gains_scratch < 10 * 1024 * 1024
+    # One-launch-per-ADMM-iteration kernel: needs the fixed per-ADMM edge
+    # linearization (edge_refresh="admm") and VMEM for the nominal
+    # trajectory + candidate controls on top of the gains.
+    A = len(sp.ALPHAS)
+    multi_scratch = gains_scratch + ((h + 1) * n + h * cdim
+                                     + A * h * cdim + n) * tile * 4
+    use_multi = (cfg.edge_refresh == "admm"
+                 and multi_scratch < 10 * 1024 * 1024)
 
-    def ilqr_once(carry):
+    def ilqr_once(carry, g_fix=None):
         us_l, ps_l, z_l, y_l = carry
-        _, g_l = edge_grads(ps_l)
+        g_l = g_fix if g_fix is not None else edge_grads(ps_l)[1]
         if use_unified:
             ps_c, us_c, J = sp.unified_sweep(p0_l, ps_l, us_l, z_l, y_l,
                                              g_l, target_l, izd_l, **kw)
@@ -447,13 +465,25 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
 
     def admm_body(carry, _):
         us_l, ps_l, z_l, y_l = carry
+        # edge_refresh="admm": linearize the edge term once here and share
+        # it across the iLQR sweeps (constant shift in the line-search
+        # comparisons — argmin unaffected; see config.MPCConfig).
+        g_fix = (edge_grads(ps_l)[1]
+                 if cfg.edge_refresh == "admm" else None)
 
-        def inner(_, c2):
-            us2, ps2 = ilqr_once((c2[0], c2[1], z_l, y_l))
-            return (us2, ps2)
+        if use_multi:
+            # All iLQR sweeps of this ADMM iteration in ONE kernel launch
+            # (equivalence-tested against the per-sweep path below).
+            ps_l, us_l = sp.multi_sweep(p0_l, ps_l, us_l, z_l, y_l, g_fix,
+                                        target_l, izd_l,
+                                        sweeps=cfg.ilqr_iters, **kw)
+        else:
+            def inner(_, c2):
+                us2, ps2 = ilqr_once((c2[0], c2[1], z_l, y_l), g_fix)
+                return (us2, ps2)
 
-        us_l, ps_l = jax.lax.fori_loop(0, cfg.ilqr_iters, inner,
-                                       (us_l, ps_l))
+            us_l, ps_l = jax.lax.fori_loop(0, cfg.ilqr_iters, inner,
+                                           (us_l, ps_l))
         z_l = jnp.clip(us_l + y_l, -cfg.u_limit, cfg.u_limit)
         y_l = y_l + us_l - z_l
         return (us_l, ps_l, z_l, y_l), None

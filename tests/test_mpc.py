@@ -283,3 +283,42 @@ class TestSolver:
         u0, sol = mpc.control_step(frame, scen)
         assert u0.shape == (2, 6)
         assert np.isfinite(np.asarray(sol.cost)).all()
+
+
+class TestEdgeRefresh:
+    """edge_refresh="admm" (one pyramid linearization per ADMM iteration,
+    shared by the iLQR sweeps) must keep cross-backend equivalence and
+    solution quality vs the per-sweep schedule."""
+
+    def _solve(self, backend, refresh, edge, scen, cfg):
+        import dataclasses
+        mpc = VisualServoMPC(dataclasses.replace(
+            cfg, backend=backend, q_edge=0.1, edge_refresh=refresh))
+        return mpc.solve_batch(edge, scen)
+
+    def test_backends_agree_under_admm_refresh(self, small_cfg):
+        rng = np.random.default_rng(23)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(9), 5)
+        ss = self._solve("sweep", "admm", edge, scen, small_cfg)
+        sr = self._solve("reference", "admm", edge, scen, small_cfg)
+        np.testing.assert_allclose(np.asarray(ss.us), np.asarray(sr.us),
+                                   rtol=2e-2, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ss.cost), np.asarray(sr.cost),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_quality_parity_with_per_sweep_refresh(self, small_cfg):
+        """Stale (per-ADMM) linearization must not degrade the final true
+        cost beyond ~1% on random textured scenes."""
+        rng = np.random.default_rng(31)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(11), 16)
+        c_ilqr = np.asarray(
+            self._solve("reference", "ilqr", edge, scen, small_cfg).cost)
+        c_admm = np.asarray(
+            self._solve("reference", "admm", edge, scen, small_cfg).cost)
+        assert np.isfinite(c_admm).all()
+        rel = (c_admm.mean() - c_ilqr.mean()) / abs(c_ilqr.mean())
+        assert rel < 0.01, f"stale-grad quality loss {rel:.4%}"

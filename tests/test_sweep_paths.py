@@ -135,3 +135,75 @@ def test_solver_multi_tile_batch(edge_map, cfg):
     sr = mpc_ref.solve_batch(edge_map, scen)
     np.testing.assert_allclose(np.asarray(ss.cost), np.asarray(sr.cost),
                                rtol=1e-3, atol=1e-3)
+
+
+class TestMultiSweep:
+    """multi_sweep == sweeps x (unified_sweep + solver-style pick) with a
+    fixed edge linearization."""
+
+    def _inputs(self):
+        rng = np.random.default_rng(5)
+        H, m, B = 6, 4, 128
+        n, c = 2 * m, 6
+        kw = dict(m=m, q=1.0, r=0.01, rho=0.1, qe=0.1, dt=1 / 30,
+                  pack=False)
+        p0 = jnp.asarray(rng.uniform(-.5, .5, (n, B)), jnp.float32)
+        us = jnp.asarray(rng.normal(size=(H, c, B)) * 0.1, jnp.float32)
+        z = jnp.clip(us, -1, 1)
+        y = jnp.zeros_like(us)
+        g = jnp.asarray(rng.normal(size=(H + 1, n, B)) * 0.2, jnp.float32)
+        tg = jnp.asarray(rng.uniform(-.4, .4, (n, B)), jnp.float32)
+        izd = jnp.asarray(rng.uniform(0.2, 1.0, (m, B)), jnp.float32)
+        ps = sp.forward_sweep(
+            p0, jnp.zeros((H + 1, n, B)), us, jnp.zeros((H, c, n, B)),
+            jnp.zeros((H, c, B)), z, y, jnp.zeros((H + 1, n, B)), tg, izd,
+            **kw)[0][:, 0]
+        return p0, ps, us, z, y, g, tg, izd, kw
+
+    @staticmethod
+    def _pick(J, cand, a_axis):
+        J = jnp.where(jnp.isfinite(J), J, jnp.inf)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, J.shape, 0)
+                  == jnp.argmin(J, axis=0)[None]).astype(jnp.float32)
+        shape = [1] * cand.ndim
+        shape[a_axis] = cand.shape[a_axis]
+        shape[-1] = J.shape[1]
+        return jnp.sum(cand * onehot.reshape(shape), axis=a_axis)
+
+    def test_single_sweep_matches_unified_plus_pick(self):
+        p0, ps, us, z, y, g, tg, izd, kw = self._inputs()
+        ps_c, us_c, J = sp.unified_sweep(p0, ps, us, z, y, g, tg,
+                                                   izd, **kw)
+        us_r = self._pick(J, us_c, 1)
+        ps_r = self._pick(J, ps_c, 1)
+        ps_m, us_m = sp.multi_sweep(p0, ps, us, z, y, g, tg, izd,
+                                              sweeps=1, **kw)
+        np.testing.assert_allclose(np.asarray(us_m), np.asarray(us_r),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ps_m), np.asarray(ps_r),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_multi_sweep_matches_iterated(self):
+        """S fused sweeps == S chained launches (bit-level handoff), and
+        stay within line-search tie-flip tolerance of the unified path."""
+        p0, ps, us, z, y, g, tg, izd, kw = self._inputs()
+        S = 3
+        ps_a, us_a = ps, us
+        for _ in range(S):
+            ps_a, us_a = sp.multi_sweep(
+                p0, ps_a, us_a, z, y, g, tg, izd, sweeps=1, **kw)
+        ps_m, us_m = sp.multi_sweep(p0, ps, us, z, y, g, tg, izd,
+                                              sweeps=S, **kw)
+        np.testing.assert_array_equal(np.asarray(us_m), np.asarray(us_a))
+        np.testing.assert_array_equal(np.asarray(ps_m), np.asarray(ps_a))
+
+        us_r, ps_r = us, ps
+        for _ in range(S):
+            ps_c, us_c, J = sp.unified_sweep(
+                p0, ps_r, us_r, z, y, g, tg, izd, **kw)
+            us_r = self._pick(J, us_c, 1)
+            ps_r = self._pick(J, ps_c, 1)
+        # ulp-level contraction-order noise can flip a line-search tie in
+        # a late sweep; bounded by the cross-backend solver tolerance.
+        np.testing.assert_allclose(np.asarray(us_m), np.asarray(us_r),
+                                   rtol=2e-2, atol=5e-3)
