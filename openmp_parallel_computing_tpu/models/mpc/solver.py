@@ -216,16 +216,23 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
         improved = J_c[best] < j0
         return jnp.where(improved, us_c[best], us)
 
+    us0 = scen.us0
+    # edge_refresh="solve": one linearization at the warm-start trajectory
+    # shared by the whole solve (warm-started real-time operation keeps the
+    # trajectory near the sampling point; quality measured in
+    # results/tpu_v5e/edge_refresh_study.json).
+    eg_solve = sample_edge(us0) if cfg.edge_refresh == "solve" else None
+
     def admm_body(carry, _):
         us, z, y = carry
-        eg = sample_edge(us) if cfg.edge_refresh == "admm" else None
+        eg = (sample_edge(us) if cfg.edge_refresh == "admm"
+              else eg_solve)
         us = jax.lax.fori_loop(
             0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y, eg), us)
         z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
         y = y + us - z
         return (us, z, y), None
 
-    us0 = scen.us0
     z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
     y0 = jnp.zeros_like(us0)
     (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
@@ -314,16 +321,19 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
         improved = jnp.min(J_c, axis=0) < j0
         return jnp.where(improved[:, None, None], us_best, us)
 
+    us0 = scen.us0
+    eg_solve = sample_edge(us0) if cfg.edge_refresh == "solve" else None
+
     def admm_body(carry, _):
         us, z, y = carry
-        eg = sample_edge(us) if cfg.edge_refresh == "admm" else None
+        eg = (sample_edge(us) if cfg.edge_refresh == "admm"
+              else eg_solve)
         us = jax.lax.fori_loop(
             0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y, eg), us)
         z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
         y = y + us - z
         return (us, z, y), None
 
-    us0 = scen.us0
     z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
     y0 = jnp.zeros_like(us0)
     (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
@@ -444,7 +454,7 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     A = len(sp.ALPHAS)
     multi_scratch = gains_scratch + ((h + 1) * n + h * cdim
                                      + A * h * cdim + n) * tile * 4
-    use_multi = (cfg.edge_refresh == "admm"
+    use_multi = (cfg.edge_refresh in ("admm", "solve")
                  and multi_scratch < 10 * 1024 * 1024)
 
     def ilqr_once(carry, g_fix=None):
@@ -464,12 +474,13 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
         return us_new, ps_new
 
     def admm_body(carry, _):
-        us_l, ps_l, z_l, y_l = carry
+        us_l, ps_l, z_l, y_l, g_solve = carry
         # edge_refresh="admm": linearize the edge term once here and share
         # it across the iLQR sweeps (constant shift in the line-search
         # comparisons — argmin unaffected; see config.MPCConfig).
-        g_fix = (edge_grads(ps_l)[1]
-                 if cfg.edge_refresh == "admm" else None)
+        # "solve": the warm-start linearization rides the carry.
+        g_fix = (edge_grads(ps_l)[1] if cfg.edge_refresh == "admm"
+                 else g_solve)
 
         if use_multi:
             # All iLQR sweeps of this ADMM iteration in ONE kernel launch
@@ -486,13 +497,16 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
                                            (us_l, ps_l))
         z_l = jnp.clip(us_l + y_l, -cfg.u_limit, cfg.u_limit)
         y_l = y_l + us_l - z_l
-        return (us_l, ps_l, z_l, y_l), None
+        return (us_l, ps_l, z_l, y_l, g_solve), None
 
     z0 = jnp.clip(us_l, -cfg.u_limit, cfg.u_limit)
     y0 = jnp.zeros_like(us_l)
     ps_l = rollout_nominal(us_l, z0, y0)
-    (us_l, ps_l, z_l, y_l), _ = jax.lax.scan(
-        admm_body, (us_l, ps_l, z0, y0), None, length=cfg.admm_iters)
+    g_solve0 = (edge_grads(ps_l)[1]
+                if cfg.edge_refresh == "solve" else None)
+    (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
+        admm_body, (us_l, ps_l, z0, y0, g_solve0), None,
+        length=cfg.admm_iters)
 
     # Final feasible controls + their true trajectory/cost.
     ps_final_l = rollout_nominal(z_l, z_l, y_l)

@@ -58,6 +58,9 @@ class MPCConfig:
     #   "admm" - sample once per ADMM iteration (the iLQR sweeps inside
     #            share the linearization) — 3x fewer pyramid samplings
     #            and the enabler for the fused multi-sweep kernel
+    #   "solve" - sample once at the warm-start trajectory for the WHOLE
+    #            solve (pure real-time mode: staleness bounded by the
+    #            per-frame warm-start distance)
     # Default "admm": measured 1.4-1.9x faster end-to-end with final-cost
     # parity (<0.05%, sometimes better) on real 1080p frames — see
     # results/tpu_v5e/edge_refresh_study.json.

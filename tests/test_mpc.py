@@ -296,13 +296,14 @@ class TestEdgeRefresh:
             cfg, backend=backend, q_edge=0.1, edge_refresh=refresh))
         return mpc.solve_batch(edge, scen)
 
-    def test_backends_agree_under_admm_refresh(self, small_cfg):
+    @pytest.mark.parametrize("refresh", ["admm", "solve"])
+    def test_backends_agree_under_stale_refresh(self, small_cfg, refresh):
         rng = np.random.default_rng(23)
         edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
         mpc = VisualServoMPC(small_cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(9), 5)
-        ss = self._solve("sweep", "admm", edge, scen, small_cfg)
-        sr = self._solve("reference", "admm", edge, scen, small_cfg)
+        ss = self._solve("sweep", refresh, edge, scen, small_cfg)
+        sr = self._solve("reference", refresh, edge, scen, small_cfg)
         np.testing.assert_allclose(np.asarray(ss.us), np.asarray(sr.us),
                                    rtol=2e-2, atol=5e-3)
         np.testing.assert_allclose(np.asarray(ss.cost), np.asarray(sr.cost),
