@@ -60,6 +60,14 @@ _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
 # single packed tile — so the choice is binary.
 PACK_SPEED = {1: 1.0, 8: 1.02}
 
+# Whole-solve one-launch kernel (sweep backend, edge_refresh="solve").
+# Measured on-chip perf-NEUTRAL vs the scan of multi_sweep launches
+# (results/tpu_v5e/full_solve_study.json: 1.52 vs 1.49 ms at 256, equal at
+# 4096, identical final costs) — the scan path is already device-resident,
+# so there is no launch overhead to fuse away. Kept as an equivalence-tested
+# alternative; off by default. Flip for single-launch profiling/tracing.
+_FULL_SOLVE = False
+
 
 def _to_split(a):
     """Permute the trailing state axis from the public interleaved order
@@ -456,6 +464,12 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
                                      + A * h * cdim + n) * tile * 4
     use_multi = (cfg.edge_refresh in ("admm", "solve")
                  and multi_scratch < 10 * 1024 * 1024)
+    # Whole-solve one-launch kernel: needs the per-solve edge linearization
+    # (edge_refresh="solve") and VMEM for the ADMM z/y state on top of the
+    # multi-sweep scratch.
+    full_scratch = multi_scratch + 2 * h * cdim * tile * 4
+    use_full = (_FULL_SOLVE and cfg.edge_refresh == "solve"
+                and full_scratch < 10 * 1024 * 1024)
 
     def ilqr_once(carry, g_fix=None):
         us_l, ps_l, z_l, y_l = carry
@@ -504,12 +518,20 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     ps_l = rollout_nominal(us_l, z0, y0)
     g_solve0 = (edge_grads(ps_l)[1]
                 if cfg.edge_refresh == "solve" else None)
-    (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
-        admm_body, (us_l, ps_l, z0, y0, g_solve0), None,
-        length=cfg.admm_iters)
+    if use_full:
+        # Entire ADMM loop + final feasible rollout in ONE kernel launch
+        # (equivalence-tested against the scan path below).
+        ps_final_l, z_l, us_l = sp.full_solve(
+            p0_l, ps_l, us_l, g_solve0, target_l, izd_l,
+            sweeps=cfg.ilqr_iters, admm_iters=cfg.admm_iters,
+            u_limit=cfg.u_limit, **kw)
+    else:
+        (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
+            admm_body, (us_l, ps_l, z0, y0, g_solve0), None,
+            length=cfg.admm_iters)
 
-    # Final feasible controls + their true trajectory/cost.
-    ps_final_l = rollout_nominal(z_l, z_l, y_l)
+        # Final feasible controls + their true trajectory/cost.
+        ps_final_l = rollout_nominal(z_l, z_l, y_l)
     us = unlanes(z_l, 2)
     ps = _from_split(unlanes(ps_final_l, 2))
     track = q * jnp.sum((ps - scen.target[:, None]) ** 2, axis=(1, 2))

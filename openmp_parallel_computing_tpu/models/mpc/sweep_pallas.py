@@ -719,6 +719,260 @@ def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
         psout_ref[0] = p_next
 
 
+# ---------------------------------------------------------------------------
+# Full-solve kernel: the ENTIRE ADMM solve in ONE launch.
+#
+# Requires the per-solve edge-linearization schedule (config
+# edge_refresh="solve"): with g fixed for the whole solve, nothing between
+# ADMM iterations needs XLA either — the z/y dual updates are elementwise on
+# (H, c) state that lives in VMEM scratch across the whole grid. Layout:
+#
+#   grid (batch_tiles, admm_iters * sweeps * 3H  +  H)
+#
+# The solve region replays the multi-sweep phases (B/F/R per sweep); at the
+# last R step of each ADMM iteration's final sweep the projection
+# z = clip(us + y) and dual ascent y += us - z update scratch in place. The
+# trailing H steps roll the final feasible controls z out from p0, streaming
+# the trajectory, z, and the unprojected controls to the outputs (parked at
+# block 0 until then). Replaces per solve: admm_iters multi-sweep launches,
+# the final feasible-rollout launch, and all the XLA clip/dual glue — the
+# whole ADMM loop becomes one kernel launch.
+#
+# z/y initialization rides sweep 0's backward phase: at step local the
+# recursion needs (z, y) only at tau = H-1-local, so z_scr[tau] =
+# clip(us0[tau]) / y_scr[tau] = 0 is written right before first use.
+# ---------------------------------------------------------------------------
+
+
+def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
+                       target_ref, izd_ref,
+                       psout_ref, zout_ref, ulout_ref,
+                       Vx_scr, Vxx_scr, K_scr, k_scr, ps_scr, us_scr,
+                       uc_scr, p_scr, J_scr, w_scr, pcur_scr, z_scr, y_scr,
+                       *, m: int, q: float, r: float, rho: float, qe: float,
+                       dt: float, reg: float, horizon: int, sweeps: int,
+                       admm_iters: int, u_limit: float):
+    n = 2 * m
+    A = len(ALPHAS)
+    H = horizon
+    P = 3 * H
+    MSP = admm_iters * sweeps * P
+    t = pl.program_id(1)
+    local = t % P
+    first = t < P
+    in_solve = t < MSP
+    last_of_admm = (t // P) % sweeps == sweeps - 1
+    target = target_ref[...]
+    izd = izd_ref[...]
+    bdims = len(target_ref.shape) - 1
+
+    def _eye(k):
+        shape = (k, k) + (1,) * bdims
+        return (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                == jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                ).astype(jnp.float32)
+
+    @pl.when(in_solve & (local == 0))
+    def _():  # terminal expansion (nominal from stream or prior rollout)
+        pterm = jnp.where(first, pterm_ref[0], ps_scr[H])
+        Vx_scr[...] = 2.0 * q * (pterm - target) + qe * gterm_ref[0]
+        Vxx_scr[...] = jnp.broadcast_to(2.0 * q * _eye(n), Vxx_scr.shape)
+
+    @pl.when(in_solve & (local < H))
+    def _backward():
+        tau = H - 1 - local
+        p_t = jnp.where(first, ps_ref[0], ps_scr[tau])
+        u_t = jnp.where(first, us_ref[0], us_scr[tau])
+
+        @pl.when(first)
+        def _():  # ADMM state init: z0 = clip(us0), y0 = 0, just in time
+            z_scr[pl.ds(tau, 1)] = jnp.clip(us_ref[...], -u_limit, u_limit)
+            y_scr[pl.ds(tau, 1)] = jnp.zeros_like(us_ref[...])
+
+        K, kff, Vx_new, Vxx_new = _backward_step(
+            p_t, u_t, z_scr[tau], y_scr[tau], g_ref[0], izd, target,
+            Vx_scr[...], Vxx_scr[...], m=m, q=q, r=r, rho=rho, qe=qe,
+            dt=dt, reg=reg, eye_fn=_eye)
+        Vx_scr[...] = Vx_new
+        Vxx_scr[...] = Vxx_new
+        K_scr[pl.ds(tau, 1)] = K[None]
+        k_scr[pl.ds(tau, 1)] = kff[None]
+
+    @pl.when(in_solve & (local == H))
+    def _():  # forward-phase init
+        p_scr[...] = jnp.broadcast_to(p0_ref[...][None],
+                                      (A,) + tuple(p0_ref.shape))
+        J_scr[...] = jnp.zeros_like(J_scr)
+
+    @pl.when(in_solve & (local >= H) & (local < 2 * H))
+    def _forward():
+        tau = local - H
+        K = K_scr[tau]
+        kff = k_scr[tau]
+        p_nom = jnp.where(first, ps_ref[0], ps_scr[tau])
+        u_nom = jnp.where(first, us_ref[0], us_scr[tau])
+        z_t, y_t, g_t = z_scr[tau], y_scr[tau], g_ref[0]
+        for a_idx, alpha in enumerate(ALPHAS):
+            p_a = p_scr[a_idx]
+            u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
+            J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
+                     + r * jnp.sum(u_a ** 2, axis=0)
+                     + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
+                     + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
+            J_scr[a_idx] = J_scr[a_idx] + J_add
+            p_scr[a_idx] = _dyn_step(p_a, u_a, izd, dt, m)
+            uc_scr[a_idx, pl.ds(tau, 1)] = u_a[None]
+
+    @pl.when(in_solve & (local == 2 * H - 1))
+    def _():  # terminal cost into the running totals
+        pterm = jnp.where(first, pterm_ref[0], ps_scr[H])
+        for a_idx in range(A):
+            p_h = p_scr[a_idx]
+            J_scr[a_idx] = (J_scr[a_idx]
+                            + q * jnp.sum((p_h - target) ** 2, axis=0)
+                            + qe * jnp.sum(gterm_ref[0] * (p_h - pterm),
+                                           axis=0))
+
+    @pl.when(in_solve & (local == 2 * H))
+    def _():  # pick: first-wins argmin over candidates, NaN-guarded
+        J = J_scr[...]
+        J = jnp.where(jnp.isfinite(J), J, jnp.inf)
+        Jmin = jnp.min(J, axis=0)
+        taken = jnp.zeros_like(Jmin, dtype=jnp.bool_)
+        for a_idx in range(A):
+            hit = (J[a_idx] == Jmin) & ~taken
+            w_scr[a_idx] = hit.astype(jnp.float32)
+            taken = taken | hit
+        pcur_scr[...] = p0_ref[...]
+        ps_scr[pl.ds(0, 1)] = p0_ref[...][None]
+
+    @pl.when(in_solve & (local >= 2 * H))
+    def _rollout():
+        tau = local - 2 * H
+        uc_t = uc_scr[:, tau]                       # (A, c, *bs)
+        u_t = _mtv(uc_t, w_scr[...], A)             # winner controls
+        p_next = _dyn_step(pcur_scr[...], u_t, izd, dt, m)
+        us_scr[pl.ds(tau, 1)] = u_t[None]
+        ps_scr[pl.ds(tau + 1, 1)] = p_next[None]
+        pcur_scr[...] = p_next
+
+    @pl.when(in_solve & (local == P - 1) & last_of_admm)
+    def _admm_update():  # projection + dual ascent on the whole horizon
+        z_new = jnp.clip(us_scr[...] + y_scr[...], -u_limit, u_limit)
+        y_scr[...] = y_scr[...] + us_scr[...] - z_new
+        z_scr[...] = z_new
+
+    @pl.when(t == MSP)
+    def _():  # feasible-rollout init
+        pcur_scr[...] = p0_ref[...]
+
+    @pl.when(t >= MSP)
+    def _feasible():
+        tau = t - MSP
+        u_t = z_scr[tau]
+        p_next = _dyn_step(pcur_scr[...], u_t, izd, dt, m)
+        pcur_scr[...] = p_next
+        psout_ref[0] = p_next
+        zout_ref[0] = u_t
+        ulout_ref[0] = us_scr[tau]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "m", "q", "r", "rho", "qe", "dt", "reg", "sweeps", "admm_iters",
+    "u_limit", "pack"))
+def full_solve(p0, ps, us, g, target, inv_depth, *, m: int, q: float,
+               r: float, rho: float, qe: float, dt: float, sweeps: int,
+               admm_iters: int, u_limit: float, reg: float = 1e-6,
+               pack: bool = False):
+    """The whole ADMM solve in ONE launch (fixed edge linearization ``g``,
+    i.e. config edge_refresh="solve"). Same math as ``admm_iters`` rounds of
+    ``multi_sweep`` + z/y projection/dual updates, then the feasible
+    rollout of z — equivalence-tested against that chain.
+
+    Returns (ps_final (H+1, n, *B) — row 0 is p0, z (H, c, *B) feasible
+    controls, us (H, c, *B) final unprojected controls).
+    """
+    H = us.shape[0]
+    n, c = 2 * m, CONTROL_DIM
+    A = len(ALPHAS)
+    bs = _bshape(pack)
+    nb = int(np_prod(ps.shape[2:])) // int(np_prod(bs))
+    zt = (0,) * (len(bs) - 1)
+    P = 3 * H
+    MSP = admm_iters * sweeps * P
+
+    def blk(*lead):
+        return tuple(lead) + bs
+
+    def t_stream(b, t):
+        local = t % P
+        idx = jnp.where(
+            t >= MSP, 0,
+            jnp.where(local < H, H - 1 - local,
+                      jnp.where(local < 2 * H, local - H, 0)))
+        return (idx, 0, b) + zt
+
+    def term(b, t):
+        return (H, 0, b) + zt
+
+    def const(b, t):
+        return (0, b) + zt
+
+    def outps(b, t):
+        return (jnp.where(t >= MSP, t - MSP + 1, 0), 0, b) + zt
+
+    def outu(b, t):
+        return (jnp.where(t >= MSP, t - MSP, 0), 0, b) + zt
+
+    sp = lambda s, fn: pl.BlockSpec(blk(1, s), fn, memory_space=pltpu.VMEM)
+    spc = lambda s: pl.BlockSpec(blk(s), const, memory_space=pltpu.VMEM)
+
+    ps_out, z_out, ul_out = pl.pallas_call(
+        functools.partial(_full_solve_kernel, m=m, q=q, r=r, rho=rho,
+                          qe=qe, dt=dt, reg=reg, horizon=H, sweeps=sweeps,
+                          admm_iters=admm_iters, u_limit=u_limit),
+        grid=(nb, MSP + H),
+        in_specs=[
+            spc(n),                  # p0
+            sp(n, t_stream),         # ps nominal (sweep 0)
+            sp(c, t_stream),         # us nominal (sweep 0)
+            sp(n, t_stream),         # g (fixed linearization)
+            sp(n, term),             # ps terminal (sweep 0)
+            sp(n, term),             # g terminal
+            spc(n),                  # target
+            spc(m),                  # inv_depth
+        ],
+        out_specs=(
+            pl.BlockSpec(blk(1, n), outps, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(1, c), outu, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(1, c), outu, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H + 1, n) + ps.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((H, c) + ps.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((H, c) + ps.shape[2:], jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n,) + bs, jnp.float32),        # Vx
+            pltpu.VMEM((n, n) + bs, jnp.float32),      # Vxx
+            pltpu.VMEM((H, c, n) + bs, jnp.float32),   # gains K
+            pltpu.VMEM((H, c) + bs, jnp.float32),      # gains k
+            pltpu.VMEM((H + 1, n) + bs, jnp.float32),  # nominal trajectory
+            pltpu.VMEM((H, c) + bs, jnp.float32),      # nominal controls
+            pltpu.VMEM((A, H, c) + bs, jnp.float32),   # candidate controls
+            pltpu.VMEM((A, n) + bs, jnp.float32),      # candidate states
+            pltpu.VMEM((A,) + bs, jnp.float32),        # running costs
+            pltpu.VMEM((A,) + bs, jnp.float32),        # winner one-hot
+            pltpu.VMEM((n,) + bs, jnp.float32),        # rollout state
+            pltpu.VMEM((H, c) + bs, jnp.float32),      # ADMM z
+            pltpu.VMEM((H, c) + bs, jnp.float32),      # ADMM y
+        ],
+        interpret=interpret_mode(),
+    )(p0, ps, us, g, ps, g, target, inv_depth)
+    ps0 = jnp.broadcast_to(p0[None], (1, n) + ps.shape[2:])
+    return jnp.concatenate([ps0, ps_out[1:]], axis=0), z_out, ul_out
+
+
 @functools.partial(jax.jit, static_argnames=("m", "q", "r", "rho", "qe",
                                              "dt", "reg", "sweeps", "pack"))
 def multi_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,

@@ -81,3 +81,13 @@ def test_multi_sweep_has_no_gather():
             jnp.zeros((H, C, B)), jnp.zeros((H + 1, N, B)),
             jnp.zeros((N, B)), jnp.ones((M, B)))
     assert _gather_count(f, *args) == 0
+
+
+def test_full_solve_has_no_gather():
+    f = functools.partial(sp.full_solve, m=M, q=1.0, r=0.1, rho=1.0,
+                          qe=0.5, dt=0.1, sweeps=3, admm_iters=2,
+                          u_limit=1.0, reg=1e-6)
+    args = (jnp.zeros((N, B)), jnp.zeros((H + 1, N, B)),
+            jnp.zeros((H, C, B)), jnp.zeros((H + 1, N, B)),
+            jnp.zeros((N, B)), jnp.ones((M, B)))
+    assert _gather_count(f, *args) == 0

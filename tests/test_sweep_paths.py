@@ -207,3 +207,67 @@ class TestMultiSweep:
         # a late sweep; bounded by the cross-backend solver tolerance.
         np.testing.assert_allclose(np.asarray(us_m), np.asarray(us_r),
                                    rtol=2e-2, atol=5e-3)
+
+
+class TestFullSolve:
+    """full_solve == the whole ADMM chain (multi_sweep per iteration +
+    projection/dual updates + feasible rollout of z) in one launch."""
+
+    def test_full_solve_matches_admm_chain(self):
+        rng = np.random.default_rng(11)
+        H, m, B = 6, 4, 128
+        n, c = 2 * m, 6
+        S, M, ul = 2, 3, 1.0
+        kw = dict(m=m, q=1.0, r=0.01, rho=0.1, qe=0.1, dt=1 / 30,
+                  pack=False)
+        p0 = jnp.asarray(rng.uniform(-.5, .5, (n, B)), jnp.float32)
+        us0 = jnp.asarray(rng.normal(size=(H, c, B)) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.normal(size=(H + 1, n, B)) * 0.2, jnp.float32)
+        tg = jnp.asarray(rng.uniform(-.4, .4, (n, B)), jnp.float32)
+        izd = jnp.asarray(rng.uniform(0.2, 1.0, (m, B)), jnp.float32)
+        zg = (jnp.zeros((H, c, n, B)), jnp.zeros((H, c, B)))
+        zpg = jnp.zeros((H + 1, n, B))
+
+        def rollout(ctrl, z, y):
+            return sp.forward_sweep(p0, jnp.zeros((H + 1, n, B)), ctrl,
+                                    *zg, z, y, zpg, tg, izd, **kw)[0][:, 0]
+
+        z = jnp.clip(us0, -ul, ul)
+        y = jnp.zeros_like(us0)
+        ps_a, us_a = rollout(us0, z, y), us0
+        for _ in range(M):
+            ps_a, us_a = sp.multi_sweep(p0, ps_a, us_a, z, y, g, tg, izd,
+                                        sweeps=S, **kw)
+            z = jnp.clip(us_a + y, -ul, ul)
+            y = y + us_a - z
+        ps_ref = rollout(z, z, y)
+
+        ps_f, z_f, us_f = sp.full_solve(
+            p0, rollout(us0, jnp.clip(us0, -ul, ul), jnp.zeros_like(us0)),
+            us0, g, tg, izd, sweeps=S, admm_iters=M, u_limit=ul, **kw)
+        np.testing.assert_array_equal(np.asarray(z_f), np.asarray(z))
+        np.testing.assert_array_equal(np.asarray(us_f), np.asarray(us_a))
+        np.testing.assert_array_equal(np.asarray(ps_f), np.asarray(ps_ref))
+
+    def test_solver_full_path_matches_scan_path(self, monkeypatch):
+        """Solver-level: the one-launch whole-solve path produces the same
+        Solution as the scan-of-multi-sweep path under
+        edge_refresh="solve"."""
+        import dataclasses
+
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+        rng = np.random.default_rng(13)
+        edge = jnp.asarray(rng.uniform(0, 255, (32, 128)), jnp.float32)
+        cfg = MPCConfig(horizon=4, num_features=2, ilqr_iters=2,
+                        admm_iters=2, edge_refresh="solve")
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(17), 128)
+        results = {}
+        for flag in (False, True):
+            monkeypatch.setattr(S, "_FULL_SOLVE", flag)
+            jax.clear_caches()
+            sol = mpc.solve_batch(edge, scen)
+            results[flag] = jax.tree.map(np.asarray, sol)
+        for a, b in zip(results[False], results[True]):
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)

@@ -124,3 +124,29 @@ class TestSolverLowering:
         assert np.all(np.isfinite(u0_s))
         np.testing.assert_allclose(u0_s, u0_r, rtol=5e-4, atol=5e-4)
         np.testing.assert_allclose(cost_s, cost_r, rtol=5e-4, atol=5e-4)
+
+    def test_full_solve_path_matches_reference(self):
+        """edge_refresh="solve" routes the sweep backend through the
+        one-launch whole-solve kernel — compile it on-chip and check
+        against the XLA reference under the same schedule."""
+        b, m, h = 128, 2, 6
+        scen = Scenario(
+            p0=jnp.asarray(RNG.uniform(-.6, .6, (b, 2 * m)), jnp.float32),
+            target=jnp.asarray(RNG.uniform(-.5, .5, (b, 2 * m)),
+                               jnp.float32),
+            depth=jnp.asarray(RNG.uniform(1, 5, (b, m)), jnp.float32),
+            us0=jnp.zeros((b, h, 6), jnp.float32))
+
+        def solve(backend):
+            cfg = MPCConfig(horizon=h, num_features=m, ilqr_iters=2,
+                            admm_iters=2, backend=backend,
+                            edge_refresh="solve")
+            mpc = VisualServoMPC(cfg)
+            u0, sol = mpc.control_step(RGB, scen)
+            return fetch(u0), fetch(sol.cost)
+
+        u0_s, cost_s = solve("sweep")
+        u0_r, cost_r = solve("reference")
+        assert np.all(np.isfinite(u0_s))
+        np.testing.assert_allclose(u0_s, u0_r, rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(cost_s, cost_r, rtol=5e-4, atol=5e-4)
