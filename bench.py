@@ -38,8 +38,14 @@ def main() -> None:
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
+    # edge_refresh="solve": one edge linearization per solve, sampled at
+    # the warm-start trajectory — the receding-horizon real-time mode this
+    # loop models (staleness bounded by the per-frame warm-start distance;
+    # final-cost parity measured in results/tpu_v5e/edge_refresh_study.json).
+    # The MPCConfig default stays "admm" because cold-start solves have no
+    # staleness bound (docs/DESIGN.md §2d).
     cfg = MPCConfig(horizon=20, num_features=8, scenarios=SCENARIOS,
-                    ilqr_iters=3, admm_iters=5)
+                    ilqr_iters=3, admm_iters=5, edge_refresh="solve")
     mpc = VisualServoMPC(cfg)
 
     frame_hwc = imgio.load("/root/reference/images/test.jpg")
