@@ -24,11 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(batch: int, reps: int, frame, horizon: int = 20) -> dict:
+def measure(batch: int, reps: int, frame, horizon: int = 20,
+            edge_refresh: str = "admm") -> dict:
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
-    cfg = MPCConfig(horizon=horizon, num_features=8, scenarios=batch)
+    cfg = MPCConfig(horizon=horizon, num_features=8, scenarios=batch,
+                    edge_refresh=edge_refresh)
     mpc = VisualServoMPC(cfg)
     scen = mpc.random_scenarios(jax.random.PRNGKey(0), batch)
     scen = jax.tree.map(jax.device_put, scen)
@@ -56,6 +58,10 @@ def main() -> None:
     ap.add_argument("--batches", default="256,1024,4096,8192,16384")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--horizon", type=int, default=20)
+    ap.add_argument("--edge-refresh", default="admm",
+                    choices=("ilqr", "admm", "solve"),
+                    help="edge-linearization schedule; 'solve' is the "
+                         "warm-start receding-horizon mode the chain models")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -67,7 +73,8 @@ def main() -> None:
     rows = []
     for b in (int(x) for x in args.batches.split(",")):
         reps = max(4, min(args.reps, (8192 * args.reps) // max(b, 1) // 4))
-        row = measure(b, reps, frame, horizon=args.horizon)
+        row = measure(b, reps, frame, horizon=args.horizon,
+                      edge_refresh=args.edge_refresh)
         print(json.dumps(row), flush=True)
         rows.append(row)
     if args.out:
