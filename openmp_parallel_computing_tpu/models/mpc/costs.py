@@ -98,11 +98,20 @@ PYRAMID_SCALES = (16, 64)
 
 
 def avg_pool(field: jax.Array, s: int) -> jax.Array:
-    """(H, W) -> (ceil(H/s), ceil(W/s)) mean pooling (zero-padded)."""
+    """(H, W) -> (ceil(H/s), ceil(W/s)) mean pooling (zero-padded).
+
+    Pooling windows are anchored at (0, 0) with all zero-padding on the
+    high side (NOT XLA's "SAME", which splits the padding and shifts the
+    window grid by pad//2 on non-divisible dims — that both breaks the
+    half-cell centering model in ``edge_cost_pyramid`` and misaligns the
+    fused Pallas pyramid kernel, which pools blocks [s*k, s*k+s)).
+    """
     if s == 1:
         return field
+    h, w = field.shape
     summed = jax.lax.reduce_window(
-        field, 0.0, jax.lax.add, (s, s), (s, s), "SAME")
+        field, 0.0, jax.lax.add, (s, s), (s, s),
+        ((0, -h % s), (0, -w % s)))
     return summed / float(s * s)
 
 
@@ -124,6 +133,37 @@ def build_cost_pyramid(edge_map: jax.Array,
         levels.append(prev)
         prev_scale = s
     return tuple(levels)
+
+
+def pyramid_from_base(level0: jax.Array,
+                      scales=PYRAMID_SCALES) -> tuple[jax.Array, ...]:
+    """Complete a cost pyramid from a prebuilt base level (the
+    ``scales[0]``-pooled edge mean): higher levels chain-pool it exactly
+    like ``build_cost_pyramid`` does."""
+    levels = [level0]
+    prev_scale = scales[0]
+    for s in scales[1:]:
+        levels.append(avg_pool(levels[-1], s // prev_scale))
+        prev_scale = s
+    return tuple(levels)
+
+
+def build_cost_pyramid_from_frame(frame: jax.Array,
+                                  scales=PYRAMID_SCALES
+                                  ) -> tuple[jax.Array, ...]:
+    """Fused perception → pyramid: (C, H, W) u8 planar camera frame to the
+    same levels ``build_cost_pyramid(edge_pipeline(frame)[0].astype(f32))``
+    produces, without ever materializing the full-resolution edge map.
+
+    Level 0 comes straight from ``ops.pipeline.edge_pyramid_base`` — one
+    Pallas kernel computing luma → Sobel → per-block mean (bit-exact with
+    the staged path: block sums of u8-valued magnitudes are integers below
+    2^24, so f32 accumulation order cannot change them). Higher levels
+    chain-pool level 0 exactly like ``build_cost_pyramid``.
+    """
+    from openmp_parallel_computing_tpu.ops.pipeline import edge_pyramid_base
+
+    return pyramid_from_base(edge_pyramid_base(frame, s=scales[0]), scales)
 
 
 def edge_cost_pyramid(pyramid, p: jax.Array, height: int,

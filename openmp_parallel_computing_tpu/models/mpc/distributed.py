@@ -9,8 +9,11 @@ scenario shard:
   equal slice — the TPU-native replacement of the reference's competing
   queue consumers, ``event-driven/grayscale_service/app.py:92-94``);
 - **perception** optionally shards the frame's rows over the model axis:
-  ppermute halo exchange for the stencil, then an ICI ``all_gather``
-  reassembles the edge map every device needs for its cost pyramid;
+  ppermute halo exchange for the stencil, then each shard pools its edge
+  rows into partial cost-pyramid bands and a tiny ICI ``psum`` assembles
+  the global base level every device needs (~32 KB for 1080p, vs the
+  ~8 MB edge-plane all_gather it replaces — the solver only ever samples
+  the pooled pyramid, never the full-res edge map);
 - the ADMM/iLQR solve itself needs NO communication; the only mesh-wide
   traffic after perception is the psum/pmax of the diagnostics — which is
   what makes >=85% multi-host scaling efficiency attainable.
@@ -30,7 +33,10 @@ from openmp_parallel_computing_tpu import parallel
 from openmp_parallel_computing_tpu.models.mpc import costs
 from openmp_parallel_computing_tpu.models.mpc import solver as _solver
 from openmp_parallel_computing_tpu.models.mpc.solver import Scenario
-from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
+from openmp_parallel_computing_tpu.ops.pipeline import (
+    edge_pipeline,
+    edge_pyramid_base,
+)
 from openmp_parallel_computing_tpu.parallel import collectives
 from openmp_parallel_computing_tpu.parallel.spatial import _border_mask_rows
 from openmp_parallel_computing_tpu.utils.config import MPCConfig
@@ -60,8 +66,16 @@ class DistributedMPC:
 
         def local(frame_local, scen_local: Scenario):
             # Perception. With model-axis sharding each device holds a row
-            # shard; halos ride ICI and the edge rows are all-gathered so
-            # every device can build the full cost pyramid.
+            # shard; halos ride ICI, then — because every scenario only
+            # ever samples the POOLED cost pyramid — each shard pools its
+            # own edge rows into partial pyramid-base bands and a tiny
+            # psum assembles the global base level. The collective payload
+            # is the (ceil(H/16), ceil(W/16)) f32 base (~32 KB for 1080p)
+            # instead of the full-res edge plane (~8 MB all_gather).
+            # Bit-exact with the single-device pyramid: band sums of
+            # u8-valued magnitudes are integers < 2^24, exact in f32
+            # under any summation order or sharding split.
+            s0 = costs.PYRAMID_SCALES[0]
             if n_model > 1:
                 c, h_loc, w = frame_local.shape
                 h = h_loc * n_model
@@ -70,17 +84,31 @@ class DistributedMPC:
                 ext = jnp.concatenate([top, frame_local, bottom], axis=1)
                 rows = edge_pipeline(ext, border="none")[0, 1:-1]
                 rows = _border_mask_rows(rows, h, w, MODEL, h_loc)
-                edge = jax.lax.all_gather(rows, MODEL, axis=0, tiled=True)
+                rows = rows.astype(jnp.float32)
+                # local column pooling (full width is device-local) ...
+                wb = -(-w // s0)
+                colpool = jnp.pad(rows, ((0, 0), (0, -w % s0)))
+                colpool = colpool.reshape(h_loc, wb, s0).sum(-1)
+                # ... then scatter local rows into the global band grid
+                # via a 0/1 assignment matmul (shard offsets are traced).
+                r0 = jax.lax.axis_index(MODEL) * h_loc
+                nb = -(-h // s0)
+                band = (r0 + jnp.arange(h_loc)) // s0
+                assign = (jnp.arange(nb)[:, None]
+                          == band[None, :]).astype(jnp.float32)
+                level0 = jax.lax.psum(assign @ colpool,
+                                      MODEL) / float(s0 * s0)
+                shape = (h, w)
             else:
-                edge = edge_pipeline(frame_local)[0]
-            edge = edge.astype(jnp.float32)
+                level0 = edge_pyramid_base(frame_local, s=s0)
+                shape = frame_local.shape[1:]
 
-            pyramid = costs.build_cost_pyramid(edge)
+            pyramid = costs.pyramid_from_base(level0)
             if solve_local is not None:
-                sol = solve_local(pyramid, edge.shape, scen_local, cfg)
+                sol = solve_local(pyramid, shape, scen_local, cfg)
             else:
                 sol = jax.vmap(lambda s: _solver._solve_single(
-                    pyramid, edge.shape, s, cfg))(scen_local)
+                    pyramid, shape, s, cfg))(scen_local)
 
             if full:
                 # Per-scenario results for the dispatch tier: first

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from openmp_parallel_computing_tpu.models.mpc import costs, dynamics, riccati
-from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
+from openmp_parallel_computing_tpu.ops.pipeline import edge_pyramid_base
 from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
 _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
@@ -582,13 +582,20 @@ class VisualServoMPC:
         """edge_map (H, W) f32, scenario batch (leading axis) -> Solution
         batch. The cost pyramid is built once and shared by the batch."""
         pyramid = costs.build_cost_pyramid(edge_map)
-        shape = edge_map.shape
+        return self._solve_pyramid(pyramid, edge_map.shape, scen)
+
+    def _solve_pyramid(self, pyramid, shape, scen: Scenario) -> Solution:
+        """Backend dispatch over a prebuilt cost pyramid (shared, or with a
+        leading per-scenario batch dim). Called inside a jit."""
         if self.cfg.backend == "sweep":
             return _solve_batch_sweep(pyramid, shape, scen, self.cfg)
         if self.cfg.backend == "fused":
             return _solve_batch_fused(pyramid, shape, scen, self.cfg)
         bwd = (riccati.backward_assoc if self.cfg.backend == "assoc"
                else riccati.backward)
+        if _pyramid_batched(pyramid):
+            return jax.vmap(lambda pyr, s: _solve_single(
+                pyr, shape, s, self.cfg, bwd))(pyramid, scen)
         return jax.vmap(
             lambda s: _solve_single(pyramid, shape, s, self.cfg,
                                     bwd))(scen)
@@ -603,40 +610,40 @@ class VisualServoMPC:
         frame, fused into ONE device computation. Pyramid levels carry a
         leading batch dim; every backend samples them per-scenario."""
         pyramid = jax.vmap(costs.build_cost_pyramid)(edge_maps)
-        shape = edge_maps.shape[1:]
-        if self.cfg.backend == "sweep":
-            return _solve_batch_sweep(pyramid, shape, scen, self.cfg)
-        if self.cfg.backend == "fused":
-            return _solve_batch_fused(pyramid, shape, scen, self.cfg)
-        bwd = (riccati.backward_assoc if self.cfg.backend == "assoc"
-               else riccati.backward)
-        return jax.vmap(lambda pyr, s: _solve_single(
-            pyr, shape, s, self.cfg, bwd))(pyramid, scen)
+        return self._solve_pyramid(pyramid, edge_maps.shape[1:], scen)
 
     @functools.partial(jax.jit, static_argnums=0)
     def control_step_multi(self, frames: jax.Array, scen: Scenario):
         """Per-request frames micro-batched into one device computation.
 
         frames: (B, C, H, W) u8 — one camera image per scenario. Runs the
-        fused perception front-end per frame (unrolled; B is the serving
-        micro-batch, single digits) and the multi-frame batched solve;
-        returns (u0 batch, Solution batch). No host round-trips."""
-        edges = jnp.stack([edge_pipeline(frames[i])[0]
-                           for i in range(frames.shape[0])])
-        sol = self.solve_batch_multi(edges.astype(jnp.float32), scen)
+        fused perception -> pyramid front-end per frame (unrolled; B is the
+        serving micro-batch, single digits) and the multi-frame batched
+        solve; returns (u0 batch, Solution batch). No host round-trips."""
+        s0 = costs.PYRAMID_SCALES[0]
+        base = jnp.stack([edge_pyramid_base(frames[i], s=s0)
+                          for i in range(frames.shape[0])])
+        pyramid = [base]
+        prev = s0
+        for s in costs.PYRAMID_SCALES[1:]:
+            pyramid.append(jax.vmap(
+                lambda l, f=s // prev: costs.avg_pool(l, f))(pyramid[-1]))
+            prev = s
+        sol = self._solve_pyramid(tuple(pyramid), frames.shape[2:], scen)
         return sol.us[:, 0], sol
 
     @functools.partial(jax.jit, static_argnums=0)
     def control_step(self, frame: jax.Array, scen: Scenario):
         """Full per-frame control path in one jitted computation.
 
-        frame: planar (C, H, W) u8 camera image. Runs the fused Pallas
-        perception front-end, then the batched solve; returns (u0 batch,
-        Solution batch). No host round-trips.
+        frame: planar (C, H, W) u8 camera image. Runs the fused
+        perception -> pyramid front-end (grayscale -> Sobel -> pooling in
+        one Pallas kernel, never materializing the full-res edge map:
+        ``ops.pipeline.edge_pyramid_base``), then the batched solve;
+        returns (u0 batch, Solution batch). No host round-trips.
         """
-        edge = edge_pipeline(frame)[0]
-        edge_f32 = edge.astype(jnp.float32)
-        sol = self.solve_batch(edge_f32, scen)
+        pyramid = costs.build_cost_pyramid_from_frame(frame)
+        sol = self._solve_pyramid(pyramid, frame.shape[1:], scen)
         return sol.us[:, 0], sol
 
     def __hash__(self):  # jit static self: hash by config contents

@@ -3,7 +3,10 @@
 from openmp_parallel_computing_tpu.ops import xla_ref  # noqa: F401
 from openmp_parallel_computing_tpu.ops.conv import conv3x3, gaussian_blur  # noqa: F401
 from openmp_parallel_computing_tpu.ops.grayscale import grayscale  # noqa: F401
-from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline  # noqa: F401
+from openmp_parallel_computing_tpu.ops.pipeline import (  # noqa: F401
+    edge_pipeline,
+    edge_pyramid_base,
+)
 from openmp_parallel_computing_tpu.ops.reductions import (  # noqa: F401
     channel_mean,
     channel_sum,

@@ -21,6 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 from openmp_parallel_computing_tpu.ops import xla_ref
 from openmp_parallel_computing_tpu.ops._tiling import (
     LANE,
+    SUBLANE_U8,
     crop2d,
     interpret_mode,
     pad2d,
@@ -40,9 +41,11 @@ def _luma_u8(block: jax.Array) -> jax.Array:
     return lum.astype(jnp.float32)
 
 
-def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,
-                 channels: int, border: str):
-    i = pl.program_id(0)
+def _strip_mag(up_ref, cur_ref, dn_ref, *, i, th: int, h: int, w: int,
+               border: str) -> jax.Array:
+    """Sobel magnitude (f32, u8-valued) for row-strip ``i`` of a planar u8
+    image, luma formed in-register from the 3-view halo blocks. The shared
+    stencil of the fused edge pipeline and the fused pyramid kernel."""
     cur = _luma_u8(cur_ref[...])
     up_last = _luma_u8(up_ref[:, th - 1:th, :])
     dn_first = _luma_u8(dn_ref[:, 0:1, :])
@@ -65,6 +68,14 @@ def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,
         col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)
         mag = jnp.where(interior, mag, 0.0)
+    return mag
+
+
+def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,
+                 channels: int, border: str):
+    i = pl.program_id(0)
+    mag = _strip_mag(up_ref, cur_ref, dn_ref, i=i, th=th, h=h, w=w,
+                     border=border)
     # Mosaic has no direct f32->u8 cast; hop through int32.
     edge = mag.astype(jnp.int32).astype(jnp.uint8)
 
@@ -93,6 +104,79 @@ def _edge_padded(x: jax.Array, th: int, h: int, w: int,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
         interpret=interpret_mode(),
     )(x, x, x)
+
+
+def _edge_poolrows_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int,
+                          s: int, h: int, w: int, lead: bool):
+    i = pl.program_id(0)
+    mag = _strip_mag(up_ref, cur_ref, dn_ref, i=i, th=th, h=h, w=w,
+                     border="zero")
+    # th/s pooled rows per strip: sum each s-row band down to a lane vector.
+    pooled = jnp.stack(
+        [jnp.sum(mag[k * s:(k + 1) * s], axis=0) for k in range(th // s)])
+    out_ref[...] = pooled[None] if lead else pooled
+
+
+@functools.partial(jax.jit, static_argnames=("s", "strip"))
+def edge_pyramid_base(img: jax.Array, s: int = 16,
+                      strip: int | None = None) -> jax.Array:
+    """Planar (C, H, W) u8 frame -> (ceil(H/s), ceil(W/s)) f32 block-mean
+    of the u8 Sobel edge map, in ONE fused Pallas kernel.
+
+    The perception front-end of the MPC cost pyramid: grayscale -> Sobel ->
+    s x s average pooling without ever materializing the full-resolution
+    edge plane in HBM (the staged path writes the u8 edge image, casts it
+    to f32, and reduce_windows it). Semantics are bit-exact with
+    ``costs.avg_pool(edge_pipeline(img)[0].astype(f32), s)``: the pooled
+    blocks are anchored at (0, 0), partial blocks zero-pad, the border is
+    the pipeline's zero border, and block sums of u8-valued magnitudes are
+    integers < 2^24, so f32 accumulation order cannot change the result.
+    (The reference repo's pipeline stops at the edge image,
+    ``monolithic/src/main_with_sobel.c:51-74``; the pooling fusion serves
+    the solver's pyramid, ``models/mpc/costs.py``.)
+    """
+    c, h, w = img.shape
+    # Strip height: 4 pooled rows per strip measured fastest on-chip at
+    # 1080p (0.44 ms vs 0.79 at 2 rows / 0.61 at 8 rows / 0.64 staged —
+    # results/tpu_v5e/perception_study.json): enough strips to pipeline
+    # the 3-view halo streaming, small enough f32 working set. Bounded
+    # below by the u8 sublane tile and above by VMEM (~8 temporaries).
+    th = strip or max(4 * s, SUBLANE_U8)
+    while th > s and th * max(w, LANE) * 4 * 8 > 10 * 1024 * 1024:
+        th //= 2
+    th = max(th, s, SUBLANE_U8)
+    if th % s:
+        raise ValueError(f"pool scale {s} must divide the strip {th}")
+    x = pad2d(img, th, LANE if LANE % s == 0 else s * LANE)
+    _, hp, wp = x.shape
+    n = hp // th
+    rps = th // s                              # pooled rows per strip
+    spec = lambda fn: pl.BlockSpec((c, th, wp), fn, memory_space=pltpu.VMEM)
+    # Mosaic requires the output block's last two dims be (8, 128)-
+    # divisible or equal to the array dims; with rps % 8 != 0 the strip
+    # axis gets its own leading dim (block (1, rps, wp)) instead.
+    lead = rps % 8 != 0 and n > 1
+    out_spec = (pl.BlockSpec((1, rps, wp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM) if lead else
+                pl.BlockSpec((rps, wp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM))
+    out_shape = jax.ShapeDtypeStruct(
+        (n, rps, wp) if lead else (hp // s, wp), jnp.float32)
+    rowsums = pl.pallas_call(
+        functools.partial(_edge_poolrows_kernel, th=th, s=s, h=h, w=w,
+                          lead=lead),
+        grid=(n,),
+        in_specs=[
+            spec(lambda i: (0, jnp.maximum(i - 1, 0), 0)),
+            spec(lambda i: (0, i, 0)),
+            spec(lambda i: (0, jnp.minimum(i + 1, n - 1), 0)),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret_mode(),
+    )(x, x, x)
+    level0 = rowsums.reshape(hp // s, wp // s, s).sum(-1) / float(s * s)
+    return level0[:-(-h // s), :-(-w // s)]
 
 
 @functools.partial(jax.jit, static_argnames=("strip", "border", "passes"))

@@ -83,6 +83,14 @@ def test_multi_sweep_has_no_gather():
     assert _gather_count(f, *args) == 0
 
 
+def test_edge_pyramid_base_has_no_gather():
+    from openmp_parallel_computing_tpu.ops.pipeline import edge_pyramid_base
+
+    img = jnp.zeros((3, 64, 256), jnp.uint8)
+    assert _gather_count(functools.partial(edge_pyramid_base, s=16),
+                         img) == 0
+
+
 def test_full_solve_has_no_gather():
     f = functools.partial(sp.full_solve, m=M, q=1.0, r=0.1, rho=1.0,
                           qe=0.5, dt=0.1, sweeps=3, admm_iters=2,

@@ -284,6 +284,23 @@ class TestSolver:
         assert u0.shape == (2, 6)
         assert np.isfinite(np.asarray(sol.cost)).all()
 
+    def test_control_step_matches_edge_map_path(self, small_cfg, rng):
+        """control_step's fused perception->pyramid front-end is bit-exact
+        with solving on the staged edge map (the pooled pyramid levels are
+        identical, so the Solutions are too)."""
+        from openmp_parallel_computing_tpu import ops
+
+        mpc = VisualServoMPC(small_cfg)
+        frame = rng.integers(0, 256, size=(3, 70, 130), dtype=np.uint8)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(5), 3)
+        u0, sol = mpc.control_step(frame, scen)
+        edge = np.asarray(ops.edge_pipeline(frame))[0].astype(np.float32)
+        sol_ref = mpc.solve_batch(edge, scen)
+        for a, b in zip(sol, sol_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(u0),
+                                      np.asarray(sol_ref.us[:, 0]))
+
 
 class TestEdgeRefresh:
     """edge_refresh="admm" (one pyramid linearization per ADMM iteration,

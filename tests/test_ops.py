@@ -137,6 +137,45 @@ class TestEdgePipeline:
         np.testing.assert_array_equal(got, want)
 
 
+class TestEdgePyramidBase:
+    """Fused perception -> pooled pyramid base vs the staged path."""
+
+    @pytest.mark.parametrize("shape", [(3, 48, 160), (3, 70, 130),
+                                       (3, 160, 256), (4, 33, 129)])
+    def test_matches_staged_pooling(self, rng, shape):
+        from openmp_parallel_computing_tpu.models.mpc import costs
+
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = np.asarray(ops.edge_pyramid_base(img, s=16))
+        edge = np.asarray(ops.edge_pipeline(img))[0].astype(np.float32)
+        want = np.asarray(costs.avg_pool(edge, 16))
+        # integer block sums stay exact in f32 -> bit-exact parity
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("strip", [32, 64, 128])
+    def test_multi_strip_layouts(self, rng, strip):
+        """Both output layouts (leading strip dim for rps%8!=0, flat 2D
+        otherwise) across several strips."""
+        from openmp_parallel_computing_tpu.models.mpc import costs
+
+        img = rng.integers(0, 256, size=(3, 300, 140), dtype=np.uint8)
+        got = np.asarray(ops.edge_pyramid_base(img, s=16, strip=strip))
+        edge = np.asarray(ops.edge_pipeline(img))[0].astype(np.float32)
+        want = np.asarray(costs.avg_pool(edge, 16))
+        np.testing.assert_array_equal(got, want)
+
+    def test_frame_pyramid_matches_staged(self, rng):
+        from openmp_parallel_computing_tpu.models.mpc import costs
+
+        img = rng.integers(0, 256, size=(3, 130, 260), dtype=np.uint8)
+        fused = costs.build_cost_pyramid_from_frame(img)
+        edge = np.asarray(ops.edge_pipeline(img))[0].astype(np.float32)
+        staged = costs.build_cost_pyramid(edge)
+        assert len(fused) == len(staged)
+        for a, b in zip(fused, staged):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestConv3x3:
     def np_conv(self, img, k, norm):
         c, h, w = img.shape

@@ -44,6 +44,15 @@ class TestStencilLowering:
         want = fetch(xla_ref.edge_pipeline(RGB))
         np.testing.assert_array_equal(got, want)
 
+    def test_edge_pyramid_base(self):
+        """Fused perception->pooling kernel vs the staged path, on-chip."""
+        from openmp_parallel_computing_tpu.models.mpc import costs
+
+        got = fetch(ops.edge_pyramid_base(RGB, s=16))
+        edge = fetch(ops.edge_pipeline(RGB))[0].astype(np.float32)
+        want = fetch(costs.avg_pool(jnp.asarray(edge), 16))
+        np.testing.assert_array_equal(got, want)
+
     def test_blur(self):
         got = fetch(ops.gaussian_blur(RGB, passes=2))
         want = fetch(xla_ref.conv3x3(xla_ref.conv3x3(RGB)))
