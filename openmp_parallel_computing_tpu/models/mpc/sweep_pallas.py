@@ -595,39 +595,46 @@ def unified_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,
 # Requires the per-ADMM edge-linearization schedule (config
 # edge_refresh="admm"): with g fixed across the sweeps, nothing between
 # consecutive sweeps needs XLA, so backward + line-searched forward +
-# winner re-rollout can loop entirely in VMEM. Grid (batch_tiles,
-# sweeps*3H); each sweep runs three phases of H steps:
+# winner selection can loop entirely in VMEM. Grid (batch_tiles,
+# sweeps*(2H+1)); each sweep runs two phases of H steps plus one:
 #
 #   B (local <  H): Riccati backward at tau = H-1-local — gains to scratch.
 #   F (local < 2H): 4-candidate rollout at tau = local-H. Candidate
-#       CONTROLS go to scratch (trajectories are never materialized — the
-#       winner is re-rolled); running costs accumulate in scratch.
-#   R (local < 3H): first-wins argmin pick (NaN-guarded, exactly
-#       solver.pick's semantics), then the winning controls re-roll the
-#       nominal trajectory into scratch for the next sweep. On the LAST
-#       sweep the rollout also streams to the outputs (other sweeps park
-#       the output blocks at index 0; the final sweep's tau=0 write lands
-#       after all parked writes, so block 0 ends correct).
+#       controls AND states for alpha != 0 go to scratch (alpha=0
+#       reproduces the nominal exactly, so it needs no storage); running
+#       costs accumulate in scratch.
+#   S (local == 2H): first-wins argmin pick (NaN-guarded, exactly
+#       solver.pick's semantics), then the winner's whole stored
+#       trajectory/controls are mask-selected into the output blocks in
+#       this ONE step. The old design re-rolled the winner over H more
+#       grid steps — the stored candidate trajectory is bit-identical to
+#       that re-roll (same _dyn_step chain), so dropping the R phase cuts
+#       a third of the grid at no numerical cost. Masked jnp.where (not a
+#       one-hot contraction) keeps a non-finite loser from contaminating
+#       the winner via 0*NaN.
 #
-# Sweep 0 reads the nominal trajectory from the streamed inputs; sweeps
-# >= 1 select the scratch nominal instead (jnp.where — a select, so the
-# sweep-0 scratch garbage never enters arithmetic).
+# The output blocks (whole (H+1, n) / (H, c) arrays per batch tile, block
+# index constant in t) stay VMEM-resident across the sweep loop and serve
+# as the nominal-trajectory storage: sweep 0's backward pass seeds them
+# from the streamed inputs, each select step overwrites them with the
+# winner, and Mosaic flushes them to HBM when the batch tile advances.
 # ---------------------------------------------------------------------------
 
 
 def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
                         pterm_ref, gterm_ref, target_ref, izd_ref,
                         psout_ref, usout_ref,
-                        Vx_scr, Vxx_scr, K_scr, k_scr, ps_scr, us_scr,
-                        uc_scr, p_scr, J_scr, w_scr, pcur_scr, *,
+                        Vx_scr, Vxx_scr, K_scr, k_scr,
+                        pc_scr, uc_scr, p_scr, J_scr, *,
                         m: int, q: float, r: float, rho: float, qe: float,
-                        dt: float, reg: float, horizon: int, sweeps: int):
+                        dt: float, reg: float, horizon: int):
     n = 2 * m
     A = len(ALPHAS)
     H = horizon
+    P = 2 * H + 1
     t = pl.program_id(1)
-    local = t % (3 * H)
-    first = t < 3 * H
+    local = t % P
+    first = t < P
     target = target_ref[...]
     izd = izd_ref[...]
     bdims = len(target_ref.shape) - 1
@@ -639,16 +646,27 @@ def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
                 ).astype(jnp.float32)
 
     @pl.when(local == 0)
-    def _():  # terminal expansion (nominal from stream or prior rollout)
-        pterm = jnp.where(first, pterm_ref[0], ps_scr[H])
+    def _():  # terminal expansion; sweep 0 seeds the resident nominal
+        pterm = jnp.where(first, pterm_ref[0], psout_ref[H])
+
+        @pl.when(first)
+        def _():
+            psout_ref[pl.ds(H, 1)] = pterm_ref[...]
+
         Vx_scr[...] = 2.0 * q * (pterm - target) + qe * gterm_ref[0]
         Vxx_scr[...] = jnp.broadcast_to(2.0 * q * _eye(n), Vxx_scr.shape)
 
     @pl.when(local < H)
     def _backward():
         tau = H - 1 - local
-        p_t = jnp.where(first, ps_ref[0], ps_scr[tau])
-        u_t = jnp.where(first, us_ref[0], us_scr[tau])
+        p_t = jnp.where(first, ps_ref[0], psout_ref[tau])
+        u_t = jnp.where(first, us_ref[0], usout_ref[tau])
+
+        @pl.when(first)
+        def _():  # seed the resident nominal from the stream
+            psout_ref[pl.ds(tau, 1)] = p_t[None]
+            usout_ref[pl.ds(tau, 1)] = u_t[None]
+
         K, kff, Vx_new, Vxx_new = _backward_step(
             p_t, u_t, z_ref[0], y_ref[0], g_ref[0], izd, target,
             Vx_scr[...], Vxx_scr[...], m=m, q=q, r=r, rho=rho, qe=qe,
@@ -669,8 +687,8 @@ def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
         tau = local - H
         K = K_scr[tau]
         kff = k_scr[tau]
-        p_nom = jnp.where(first, ps_ref[0], ps_scr[tau])
-        u_nom = jnp.where(first, us_ref[0], us_scr[tau])
+        p_nom = psout_ref[tau]
+        u_nom = usout_ref[tau]
         z_t, y_t, g_t = z_ref[0], y_ref[0], g_ref[0]
         for a_idx, alpha in enumerate(ALPHAS):
             p_a = p_scr[a_idx]
@@ -680,43 +698,42 @@ def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
                      + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
                      + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
             J_scr[a_idx] = J_scr[a_idx] + J_add
-            p_scr[a_idx] = _dyn_step(p_a, u_a, izd, dt, m)
-            uc_scr[a_idx, pl.ds(tau, 1)] = u_a[None]
+            p_next = _dyn_step(p_a, u_a, izd, dt, m)
+            p_scr[a_idx] = p_next
+            if a_idx:
+                uc_scr[a_idx - 1, pl.ds(tau, 1)] = u_a[None]
+                pc_scr[a_idx - 1, pl.ds(tau, 1)] = p_next[None]
 
-    @pl.when(local == 2 * H - 1)
-    def _():  # terminal cost into the running totals
-        pterm = jnp.where(first, pterm_ref[0], ps_scr[H])
-        for a_idx in range(A):
-            p_h = p_scr[a_idx]
-            J_scr[a_idx] = (J_scr[a_idx]
-                            + q * jnp.sum((p_h - target) ** 2, axis=0)
-                            + qe * jnp.sum(gterm_ref[0] * (p_h - pterm),
-                                           axis=0))
+        @pl.when(local == 2 * H - 1)
+        def _():  # terminal cost into the running totals
+            pterm = psout_ref[H]
+            for a_idx in range(A):
+                p_h = p_scr[a_idx]
+                J_scr[a_idx] = (J_scr[a_idx]
+                                + q * jnp.sum((p_h - target) ** 2, axis=0)
+                                + qe * jnp.sum(gterm_ref[0] * (p_h - pterm),
+                                               axis=0))
 
     @pl.when(local == 2 * H)
-    def _():  # pick: first-wins argmin over candidates, NaN-guarded
+    def _select():  # pick + whole-trajectory winner selection, one step
         J = J_scr[...]
         J = jnp.where(jnp.isfinite(J), J, jnp.inf)
         Jmin = jnp.min(J, axis=0)
         taken = jnp.zeros_like(Jmin, dtype=jnp.bool_)
+        masks = []
         for a_idx in range(A):
             hit = (J[a_idx] == Jmin) & ~taken
-            w_scr[a_idx] = hit.astype(jnp.float32)
+            masks.append(hit)
             taken = taken | hit
-        pcur_scr[...] = p0_ref[...]
-        ps_scr[pl.ds(0, 1)] = p0_ref[...][None]
-
-    @pl.when(local >= 2 * H)
-    def _rollout():
-        tau = local - 2 * H
-        uc_t = uc_scr[:, tau]                       # (A, c, *bs)
-        u_t = _mtv(uc_t, w_scr[...], A)             # winner controls
-        p_next = _dyn_step(pcur_scr[...], u_t, izd, dt, m)
-        us_scr[pl.ds(tau, 1)] = u_t[None]
-        ps_scr[pl.ds(tau + 1, 1)] = p_next[None]
-        pcur_scr[...] = p_next
-        usout_ref[0] = u_t
-        psout_ref[0] = p_next
+        ps_w = psout_ref[pl.ds(1, H)]               # nominal rows 1..H
+        us_w = usout_ref[...]
+        for a_idx in range(1, A):
+            mk = masks[a_idx][None, None]
+            ps_w = jnp.where(mk, pc_scr[a_idx - 1], ps_w)
+            us_w = jnp.where(mk, uc_scr[a_idx - 1], us_w)
+        psout_ref[pl.ds(1, H)] = ps_w
+        usout_ref[...] = us_w
+        psout_ref[pl.ds(0, 1)] = p0_ref[...][None]
 
 
 # ---------------------------------------------------------------------------
@@ -991,13 +1008,13 @@ def multi_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,
     bs = _bshape(pack)
     nb = int(np_prod(ps.shape[2:])) // int(np_prod(bs))
     zt = (0,) * (len(bs) - 1)
-    P = 3 * H                                   # grid steps per sweep
+    P = 2 * H + 1                               # grid steps per sweep
 
     def blk(*lead):
         return tuple(lead) + bs
 
     def t_stream(b, t):
-        # B phase: H-1-local; F phase: local-H; R phase: park at 0
+        # B phase: H-1-local; F phase: local-H; S step: park at 0
         local = t % P
         return (jnp.where(local < H, H - 1 - local,
                           jnp.where(local < 2 * H, local - H, 0)),
@@ -1009,24 +1026,15 @@ def multi_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,
     def const(b, t):
         return (0, b) + zt
 
-    def outps(b, t):
-        local = t % P
-        last = t >= (sweeps - 1) * P
-        return (jnp.where(last & (local >= 2 * H), local - 2 * H + 1, 0),
-                0, b) + zt
-
-    def outus(b, t):
-        local = t % P
-        last = t >= (sweeps - 1) * P
-        return (jnp.where(last & (local >= 2 * H), local - 2 * H, 0),
-                0, b) + zt
+    def whole(b, t):
+        return (0, 0, b) + zt
 
     sp = lambda s, fn: pl.BlockSpec(blk(1, s), fn, memory_space=pltpu.VMEM)
     spc = lambda s: pl.BlockSpec(blk(s), const, memory_space=pltpu.VMEM)
 
     ps_out, us_out = pl.pallas_call(
         functools.partial(_multi_sweep_kernel, m=m, q=q, r=r, rho=rho,
-                          qe=qe, dt=dt, reg=reg, horizon=H, sweeps=sweeps),
+                          qe=qe, dt=dt, reg=reg, horizon=H),
         grid=(nb, sweeps * P),
         in_specs=[
             spc(n),                  # p0
@@ -1040,9 +1048,11 @@ def multi_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,
             spc(n),                  # target
             spc(m),                  # inv_depth
         ],
+        # Whole-array output blocks, VMEM-resident per batch tile: they
+        # double as the nominal-trajectory storage across sweeps.
         out_specs=(
-            pl.BlockSpec(blk(1, n), outps, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk(1, c), outus, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(H + 1, n), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk(H, c), whole, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((H + 1, n) + ps.shape[2:], jnp.float32),
@@ -1053,15 +1063,11 @@ def multi_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,
             pltpu.VMEM((n, n) + bs, jnp.float32),      # Vxx
             pltpu.VMEM((H, c, n) + bs, jnp.float32),   # gains K
             pltpu.VMEM((H, c) + bs, jnp.float32),      # gains k
-            pltpu.VMEM((H + 1, n) + bs, jnp.float32),  # nominal trajectory
-            pltpu.VMEM((H, c) + bs, jnp.float32),      # nominal controls
-            pltpu.VMEM((A, H, c) + bs, jnp.float32),   # candidate controls
+            pltpu.VMEM((A - 1, H, n) + bs, jnp.float32),  # cand trajectories
+            pltpu.VMEM((A - 1, H, c) + bs, jnp.float32),  # cand controls
             pltpu.VMEM((A, n) + bs, jnp.float32),      # candidate states
             pltpu.VMEM((A,) + bs, jnp.float32),        # running costs
-            pltpu.VMEM((A,) + bs, jnp.float32),        # winner one-hot
-            pltpu.VMEM((n,) + bs, jnp.float32),        # rollout state
         ],
         interpret=interpret_mode(),
     )(p0, ps, us, z, y, g, ps, g, target, inv_depth)
-    ps0 = jnp.broadcast_to(p0[None], (1, n) + ps.shape[2:])
-    return jnp.concatenate([ps0, ps_out[1:]], axis=0), us_out
+    return ps_out, us_out
