@@ -1,0 +1,75 @@
+"""Multi-trial headline-chain microbench for kernel A/B comparisons.
+
+Runs the same warm-start dependency chain as the repo-root ``bench.py``
+(see its docstring for the methodology and the relay-sync rationale) but
+repeats it ``--trials`` times in one process and reports every chain's
+throughput plus best/median. One number per process hides relay-noise
+spread; for an A/B between two kernel variants, compare medians of
+back-to-back runs and sanity-check the per-chain spread.
+
+Usage::
+
+    python -m openmp_parallel_computing_tpu.bench.chains \
+        [--scenarios 256] [--reps 40] [--trials 6] [--edge-refresh solve]
+
+Prints one JSON line: {"chains": [...], "best": ..., "median": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(scenarios: int = 256, reps: int = 40, trials: int = 6,
+        edge_refresh: str = "solve") -> dict:
+    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    cfg = MPCConfig(horizon=20, num_features=8, scenarios=scenarios,
+                    ilqr_iters=3, admm_iters=5, edge_refresh=edge_refresh)
+    mpc = VisualServoMPC(cfg)
+    frame_hwc = imgio.load("/root/reference/images/test.jpg")
+    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    scen = mpc.random_scenarios(jax.random.PRNGKey(0), scenarios)
+    scen = jax.tree.map(jax.device_put, scen)
+
+    def step(s):
+        u0, sol = mpc.control_step(frame, s)
+        return u0, s._replace(us0=jnp.roll(sol.us, -1, axis=1))
+
+    u0, s = step(scen)
+    np.asarray(u0)  # compile + honest sync (relay: block_until_ready lies)
+
+    vals = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            u0, s = step(s)
+        np.asarray(u0)
+        vals.append(scenarios * reps / (time.perf_counter() - t0))
+    return {"chains": [round(v) for v in vals],
+            "best": round(max(vals)),
+            "median": round(sorted(vals)[len(vals) // 2])}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--scenarios", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=40)
+    ap.add_argument("--trials", type=int, default=6)
+    ap.add_argument("--edge-refresh", default="solve",
+                    choices=("ilqr", "admm", "solve"))
+    args = ap.parse_args()
+    print(json.dumps(run(args.scenarios, args.reps, args.trials,
+                         args.edge_refresh)))
+
+
+if __name__ == "__main__":
+    main()
