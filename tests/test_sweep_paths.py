@@ -208,6 +208,39 @@ class TestMultiSweep:
         np.testing.assert_allclose(np.asarray(us_m), np.asarray(us_r),
                                    rtol=2e-2, atol=5e-3)
 
+    def test_nan_candidates_fall_back_to_nominal(self):
+        """Scenarios whose line-search costs are ALL non-finite (NaN in
+        the edge gradient poisons every candidate's J) must keep the
+        nominal trajectory via the in-kernel NaN-guarded first-wins pick,
+        while unpoisoned scenarios are solved normally — matching the
+        XLA-side pick semantics exactly."""
+        p0, ps, us, z, y, g, tg, izd, kw = self._inputs()
+        B = g.shape[-1]
+        bad = np.zeros(B, bool)
+        bad[::7] = True
+        g = jnp.where(jnp.asarray(bad), jnp.nan, g)
+
+        ps_m, us_m = sp.multi_sweep(p0, ps, us, z, y, g, tg, izd,
+                                    sweeps=1, **kw)
+        assert np.isfinite(np.asarray(us_m)).all()
+        assert np.isfinite(np.asarray(ps_m)).all()
+        # poisoned scenarios: nominal kept bit-exactly
+        np.testing.assert_array_equal(np.asarray(us_m)[..., bad],
+                                      np.asarray(us)[..., bad])
+        np.testing.assert_array_equal(np.asarray(ps_m)[..., bad],
+                                      np.asarray(ps)[..., bad])
+        # unpoisoned scenarios: identical to the reference pick
+        ps_c, us_c, J = sp.unified_sweep(p0, ps, us, z, y, g, tg, izd, **kw)
+        us_r = self._pick(J, us_c, 1)
+        ps_r = self._pick(J, ps_c, 1)
+        ok = ~bad
+        np.testing.assert_allclose(np.asarray(us_m)[..., ok],
+                                   np.asarray(us_r)[..., ok],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ps_m)[..., ok],
+                                   np.asarray(ps_r)[..., ok],
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestFullSolve:
     """full_solve == the whole ADMM chain (multi_sweep per iteration +
