@@ -744,16 +744,19 @@ def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
 # ADMM iterations needs XLA either — the z/y dual updates are elementwise on
 # (H, c) state that lives in VMEM scratch across the whole grid. Layout:
 #
-#   grid (batch_tiles, admm_iters * sweeps * 3H  +  H)
+#   grid (batch_tiles, admm_iters * sweeps * (2H+1)  +  H)
 #
-# The solve region replays the multi-sweep phases (B/F/R per sweep); at the
-# last R step of each ADMM iteration's final sweep the projection
-# z = clip(us + y) and dual ascent y += us - z update scratch in place. The
-# trailing H steps roll the final feasible controls z out from p0, streaming
-# the trajectory, z, and the unprojected controls to the outputs (parked at
-# block 0 until then). Replaces per solve: admm_iters multi-sweep launches,
-# the final feasible-rollout launch, and all the XLA clip/dual glue — the
-# whole ADMM loop becomes one kernel launch.
+# The solve region replays the multi-sweep phases (B/F/S per sweep — the
+# same stored-candidate winner select as ``_multi_sweep_kernel``, with the
+# nominal resident in scratch rather than the output block since the
+# outputs here stream row-by-row in the trailing phase); at the select
+# step of each ADMM iteration's final sweep the projection z = clip(us+y)
+# and dual ascent y += us - z update scratch in place. The trailing H
+# steps roll the final feasible controls z out from p0, streaming the
+# trajectory, z, and the unprojected controls to the outputs (parked at
+# block 0 until then). Replaces per solve: admm_iters multi-sweep
+# launches, the final feasible-rollout launch, and all the XLA clip/dual
+# glue — the whole ADMM loop becomes one kernel launch.
 #
 # z/y initialization rides sweep 0's backward phase: at step local the
 # recursion needs (z, y) only at tau = H-1-local, so z_scr[tau] =
@@ -765,14 +768,14 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
                        target_ref, izd_ref,
                        psout_ref, zout_ref, ulout_ref,
                        Vx_scr, Vxx_scr, K_scr, k_scr, ps_scr, us_scr,
-                       uc_scr, p_scr, J_scr, w_scr, pcur_scr, z_scr, y_scr,
+                       pc_scr, uc_scr, p_scr, J_scr, pcur_scr, z_scr, y_scr,
                        *, m: int, q: float, r: float, rho: float, qe: float,
                        dt: float, reg: float, horizon: int, sweeps: int,
                        admm_iters: int, u_limit: float):
     n = 2 * m
     A = len(ALPHAS)
     H = horizon
-    P = 3 * H
+    P = 2 * H + 1
     MSP = admm_iters * sweeps * P
     t = pl.program_id(1)
     local = t % P
@@ -790,8 +793,13 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
                 ).astype(jnp.float32)
 
     @pl.when(in_solve & (local == 0))
-    def _():  # terminal expansion (nominal from stream or prior rollout)
+    def _():  # terminal expansion; sweep 0 seeds the resident nominal
         pterm = jnp.where(first, pterm_ref[0], ps_scr[H])
+
+        @pl.when(first)
+        def _():
+            ps_scr[pl.ds(H, 1)] = pterm_ref[...]
+
         Vx_scr[...] = 2.0 * q * (pterm - target) + qe * gterm_ref[0]
         Vxx_scr[...] = jnp.broadcast_to(2.0 * q * _eye(n), Vxx_scr.shape)
 
@@ -802,9 +810,12 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
         u_t = jnp.where(first, us_ref[0], us_scr[tau])
 
         @pl.when(first)
-        def _():  # ADMM state init: z0 = clip(us0), y0 = 0, just in time
+        def _():  # ADMM state init z0 = clip(us0), y0 = 0, just in time;
+            # seed the resident nominal from the stream
             z_scr[pl.ds(tau, 1)] = jnp.clip(us_ref[...], -u_limit, u_limit)
             y_scr[pl.ds(tau, 1)] = jnp.zeros_like(us_ref[...])
+            ps_scr[pl.ds(tau, 1)] = p_t[None]
+            us_scr[pl.ds(tau, 1)] = u_t[None]
 
         K, kff, Vx_new, Vxx_new = _backward_step(
             p_t, u_t, z_scr[tau], y_scr[tau], g_ref[0], izd, target,
@@ -837,44 +848,47 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
                      + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
                      + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
             J_scr[a_idx] = J_scr[a_idx] + J_add
-            p_scr[a_idx] = _dyn_step(p_a, u_a, izd, dt, m)
-            uc_scr[a_idx, pl.ds(tau, 1)] = u_a[None]
+            p_next = _dyn_step(p_a, u_a, izd, dt, m)
+            p_scr[a_idx] = p_next
+            if a_idx:
+                uc_scr[a_idx - 1, pl.ds(tau, 1)] = u_a[None]
+                pc_scr[a_idx - 1, pl.ds(tau, 1)] = p_next[None]
 
-    @pl.when(in_solve & (local == 2 * H - 1))
-    def _():  # terminal cost into the running totals
-        pterm = jnp.where(first, pterm_ref[0], ps_scr[H])
-        for a_idx in range(A):
-            p_h = p_scr[a_idx]
-            J_scr[a_idx] = (J_scr[a_idx]
-                            + q * jnp.sum((p_h - target) ** 2, axis=0)
-                            + qe * jnp.sum(gterm_ref[0] * (p_h - pterm),
-                                           axis=0))
+        @pl.when(local == 2 * H - 1)
+        def _():  # terminal cost into the running totals
+            pterm = ps_scr[H]
+            for a_idx in range(A):
+                p_h = p_scr[a_idx]
+                J_scr[a_idx] = (J_scr[a_idx]
+                                + q * jnp.sum((p_h - target) ** 2, axis=0)
+                                + qe * jnp.sum(gterm_ref[0] * (p_h - pterm),
+                                               axis=0))
 
     @pl.when(in_solve & (local == 2 * H))
-    def _():  # pick: first-wins argmin over candidates, NaN-guarded
+    def _select():  # pick + whole-trajectory winner selection, one step
         J = J_scr[...]
         J = jnp.where(jnp.isfinite(J), J, jnp.inf)
         Jmin = jnp.min(J, axis=0)
         taken = jnp.zeros_like(Jmin, dtype=jnp.bool_)
+        masks = []
         for a_idx in range(A):
             hit = (J[a_idx] == Jmin) & ~taken
-            w_scr[a_idx] = hit.astype(jnp.float32)
+            masks.append(hit)
             taken = taken | hit
-        pcur_scr[...] = p0_ref[...]
+        ps_w = ps_scr[pl.ds(1, H)]                  # nominal rows 1..H
+        us_w = us_scr[...]
+        for a_idx in range(1, A):
+            mk = masks[a_idx][None, None]
+            ps_w = jnp.where(mk, pc_scr[a_idx - 1], ps_w)
+            us_w = jnp.where(mk, uc_scr[a_idx - 1], us_w)
+        ps_scr[pl.ds(1, H)] = ps_w
+        us_scr[...] = us_w
         ps_scr[pl.ds(0, 1)] = p0_ref[...][None]
-
-    @pl.when(in_solve & (local >= 2 * H))
-    def _rollout():
-        tau = local - 2 * H
-        uc_t = uc_scr[:, tau]                       # (A, c, *bs)
-        u_t = _mtv(uc_t, w_scr[...], A)             # winner controls
-        p_next = _dyn_step(pcur_scr[...], u_t, izd, dt, m)
-        us_scr[pl.ds(tau, 1)] = u_t[None]
-        ps_scr[pl.ds(tau + 1, 1)] = p_next[None]
-        pcur_scr[...] = p_next
 
     @pl.when(in_solve & (local == P - 1) & last_of_admm)
     def _admm_update():  # projection + dual ascent on the whole horizon
+        # (fires at the select step, textually AFTER it so the selected
+        # us_scr is the one projected)
         z_new = jnp.clip(us_scr[...] + y_scr[...], -u_limit, u_limit)
         y_scr[...] = y_scr[...] + us_scr[...] - z_new
         z_scr[...] = z_new
@@ -915,7 +929,7 @@ def full_solve(p0, ps, us, g, target, inv_depth, *, m: int, q: float,
     bs = _bshape(pack)
     nb = int(np_prod(ps.shape[2:])) // int(np_prod(bs))
     zt = (0,) * (len(bs) - 1)
-    P = 3 * H
+    P = 2 * H + 1
     MSP = admm_iters * sweeps * P
 
     def blk(*lead):
@@ -976,11 +990,11 @@ def full_solve(p0, ps, us, g, target, inv_depth, *, m: int, q: float,
             pltpu.VMEM((H, c) + bs, jnp.float32),      # gains k
             pltpu.VMEM((H + 1, n) + bs, jnp.float32),  # nominal trajectory
             pltpu.VMEM((H, c) + bs, jnp.float32),      # nominal controls
-            pltpu.VMEM((A, H, c) + bs, jnp.float32),   # candidate controls
+            pltpu.VMEM((A - 1, H, n) + bs, jnp.float32),  # cand trajectories
+            pltpu.VMEM((A - 1, H, c) + bs, jnp.float32),  # cand controls
             pltpu.VMEM((A, n) + bs, jnp.float32),      # candidate states
             pltpu.VMEM((A,) + bs, jnp.float32),        # running costs
-            pltpu.VMEM((A,) + bs, jnp.float32),        # winner one-hot
-            pltpu.VMEM((n,) + bs, jnp.float32),        # rollout state
+            pltpu.VMEM((n,) + bs, jnp.float32),        # feasible-rollout state
             pltpu.VMEM((H, c) + bs, jnp.float32),      # ADMM z
             pltpu.VMEM((H, c) + bs, jnp.float32),      # ADMM y
         ],
