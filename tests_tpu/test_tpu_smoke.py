@@ -134,10 +134,14 @@ class TestSolverLowering:
         np.testing.assert_allclose(u0_s, u0_r, rtol=5e-4, atol=5e-4)
         np.testing.assert_allclose(cost_s, cost_r, rtol=5e-4, atol=5e-4)
 
-    def test_full_solve_path_matches_reference(self):
-        """edge_refresh="solve" routes the sweep backend through the
-        one-launch whole-solve kernel — compile it on-chip and check
-        against the XLA reference under the same schedule."""
+    def test_full_solve_path_matches_reference(self, monkeypatch):
+        """The one-launch whole-solve kernel (``sweep_pallas.full_solve``)
+        is off by default (``solver._FULL_SOLVE=False`` — measured
+        perf-neutral); flip the flag so the compiled Mosaic lowering of
+        the kernel itself is covered, and check against the XLA reference
+        under the same edge_refresh="solve" schedule."""
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+        monkeypatch.setattr(S, "_FULL_SOLVE", True)
         b, m, h = 128, 2, 6
         scen = Scenario(
             p0=jnp.asarray(RNG.uniform(-.6, .6, (b, 2 * m)), jnp.float32),
