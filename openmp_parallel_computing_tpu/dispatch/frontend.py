@@ -24,6 +24,11 @@ from pathlib import PurePosixPath
 
 from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
 from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
+from openmp_parallel_computing_tpu.dispatch.validate import (
+    CONFIG_FIELDS,
+    MAX_REPEAT,
+    validate_mpc_config,
+)
 from openmp_parallel_computing_tpu.serve.server import _parse_multipart_ex
 from openmp_parallel_computing_tpu.utils.config import DispatchConfig
 
@@ -239,13 +244,18 @@ def make_handler(state: FrontendState):
             if not isinstance(scen, bytes) or not scen:
                 self.send_error(400, "missing multipart field 'scenarios'")
                 return
-            config = {}
-            for name in ("horizon", "num_features", "ilqr_iters",
-                         "admm_iters"):
-                if name in fields:
-                    config[name] = int(str(fields[name]))
             frame = fields.get("frame")
             try:
+                # Validate config overrides BEFORE publishing: bad values
+                # are a 400 here, not a poisoned message the worker has to
+                # dead-letter (and the bounds stop unauthenticated compile
+                # churn, the dispatch twin of serve's ALLOWED_HORIZONS).
+                config = validate_mpc_config(
+                    {name: fields[name] for name in CONFIG_FIELDS
+                     if name in fields})
+                repeat = int(str(fields.get("repeat", 1)))
+                if not 1 <= repeat <= MAX_REPEAT:
+                    raise ValueError(f"repeat must be in 1..{MAX_REPEAT}")
                 key = state.submit_mpc(
                     scen, config,
                     devices=int(str(fields.get("devices", 1))),
@@ -253,7 +263,7 @@ def make_handler(state: FrontendState):
                     else None,
                     chunk=int(str(fields["chunk"]))
                     if "chunk" in fields else None,
-                    repeat=int(str(fields.get("repeat", 1))))
+                    repeat=repeat)
             except (ValueError, KeyError) as exc:
                 self.send_error(400, str(exc))
                 return

@@ -31,14 +31,23 @@ class Job:
 
 class DurableQueue:
     def __init__(self, root: str | os.PathLike, name: str,
-                 visibility_timeout_s: float = 60.0):
+                 visibility_timeout_s: float = 60.0,
+                 max_deliveries: int = 5):
         self.name = name
         base = Path(root) / "queues" / name
         self.new = base / "new"
         self.inflight = base / "inflight"
+        self.dead = base / "dead"
         self.new.mkdir(parents=True, exist_ok=True)
         self.inflight.mkdir(parents=True, exist_ok=True)
+        self.dead.mkdir(parents=True, exist_ok=True)
         self.visibility_timeout_s = visibility_timeout_s
+        # At-least-once needs a retry bound: a message that keeps killing
+        # its consumer (or keeps expiring) would otherwise redeliver
+        # forever and wedge the queue behind it. After max_deliveries
+        # claims it moves to dead/ for inspection — the dead-letter queue
+        # an AMQP broker would provide.
+        self.max_deliveries = max_deliveries
         # Per-consumer claim index: names are timestamp-prefixed, so a
         # sorted listing stays valid until drained — new messages are
         # strictly newer than anything cached. Amortizes the full-backlog
@@ -92,6 +101,14 @@ class DurableQueue:
             except FileNotFoundError:
                 continue  # lost the race for this message
             body = json.loads(dst.read_text())
+            # Delivery accounting (we own the file after the rename). The
+            # counter lives in the message file so it survives nack/expiry
+            # renames; it is stripped from the body handed to consumers.
+            deliveries = int(body.pop("_deliveries", 0)) + 1
+            if deliveries > self.max_deliveries:
+                os.replace(dst, self.dead / name)
+                continue
+            dst.write_text(json.dumps({**body, "_deliveries": deliveries}))
             return Job(id=src.stem, body=body, _inflight_path=dst)
 
     def ack(self, job: Job) -> None:

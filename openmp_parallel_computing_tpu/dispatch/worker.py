@@ -33,6 +33,7 @@ completion message carries ``{costs, u0_key, times}``.
 
 from __future__ import annotations
 
+import collections
 import io
 import tempfile
 import time
@@ -43,10 +44,23 @@ import numpy as np
 from openmp_parallel_computing_tpu import imgio
 from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
 from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
+from openmp_parallel_computing_tpu.dispatch.validate import (
+    MAX_REPEAT,
+    validate_mpc_config,
+)
 from openmp_parallel_computing_tpu.serve.server import process_image
 from openmp_parallel_computing_tpu.utils import checkpoint
 from openmp_parallel_computing_tpu.utils.config import DispatchConfig
 from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
+
+
+class JobFailed(Exception):
+    """A deterministically bad job (malformed payload, invalid config,
+    non-finite solution). Redelivering it can never succeed, so the worker
+    records the failure, drops any resume checkpoint, and ACKS — instead
+    of nacking into a redeliver -> crash -> redeliver loop that wedges the
+    queue behind one poisoned message. Transient faults (device
+    unavailable, store IO) stay ordinary exceptions -> nack -> redelivery."""
 
 
 class Worker:
@@ -57,11 +71,17 @@ class Worker:
                                  self.cfg.visibility_timeout_s)
         self.done = DurableQueue(self.cfg.root,
                                  f"{self.cfg.queue}_processed")
-        self._mpc_cache: dict = {}
+        # Engines are device-resident (compiled, minutes on the relayed
+        # TPU): keep the last few, evict LRU so config churn is bounded.
+        self._mpc_cache: collections.OrderedDict = collections.OrderedDict()
+        self._mpc_cache_cap = 4
 
     def process(self, body: dict) -> dict:
         if body.get("type") == "mpc":
-            return self.process_mpc(body)
+            try:
+                return self.process_mpc(body)
+            except JobFailed as exc:
+                return self._fail_mpc(body, str(exc))
         image_key = body["image_key"]
         devices = body.get("threads", [1])
         if isinstance(devices, int):
@@ -115,7 +135,14 @@ class Worker:
     # -- MPC scenario-batch jobs -------------------------------------------
 
     def _mpc_engine(self, cfg_dict: dict, devices: int):
-        """Build (and cache) a DistributedMPC over a local 1-D data mesh."""
+        """Build (and cache) a DistributedMPC over a local 1-D data mesh.
+
+        Job-supplied config overrides are re-validated here (not only at
+        the frontend): every distinct config is a fresh jit cache entry
+        and a minutes-long first compile on the relayed TPU, so a rogue
+        producer must not be able to churn them (the worker-side twin of
+        serve/server.py's ALLOWED_HORIZONS clamp).
+        """
         import jax
 
         from openmp_parallel_computing_tpu import parallel
@@ -124,28 +151,46 @@ class Worker:
 
         import dataclasses
 
-        allowed = {f.name for f in dataclasses.fields(MPCConfig)}
-        cfg = MPCConfig(**{k: v for k, v in cfg_dict.items()
-                           if k in allowed})
+        try:
+            clean = validate_mpc_config(dict(cfg_dict or {}))
+        except ValueError as exc:
+            raise JobFailed(f"invalid config: {exc}") from exc
+        cfg = MPCConfig(**clean)
         devices = max(1, min(devices, len(jax.devices())))
         key = (tuple(sorted(dataclasses.asdict(cfg).items())), devices)
         if key not in self._mpc_cache:
             mesh = parallel.make_mesh(data=devices, model=1,
                                       devices=jax.devices()[:devices])
             self._mpc_cache[key] = (DistributedMPC(cfg, mesh), cfg, devices)
+            while len(self._mpc_cache) > self._mpc_cache_cap:
+                self._mpc_cache.popitem(last=False)
+        self._mpc_cache.move_to_end(key)
         return self._mpc_cache[key]
 
-    def _load_scenario(self, key: str):
+    def _load_scenario(self, key: str, m: int):
+        """Parse + validate the scenario npz; malformed payloads are
+        JobFailed (deterministic — redelivery cannot fix the bytes)."""
         from openmp_parallel_computing_tpu.models.mpc import Scenario
 
-        data = np.load(io.BytesIO(self.store.get(key)))
-        p0 = np.asarray(data["p0"], np.float32)
-        target = np.asarray(data["target"], np.float32)
-        depth = np.asarray(data["depth"], np.float32)
-        if "us0" in data:
-            us0 = np.asarray(data["us0"], np.float32)
-        else:
-            us0 = None  # filled once the horizon is known
+        try:
+            data = np.load(io.BytesIO(self.store.get(key)))
+            p0 = np.asarray(data["p0"], np.float32)
+            target = np.asarray(data["target"], np.float32)
+            depth = np.asarray(data["depth"], np.float32)
+            us0 = (np.asarray(data["us0"], np.float32)
+                   if "us0" in data else None)
+        except KeyError as exc:
+            raise JobFailed(f"scenario npz missing array {exc}") from exc
+        except Exception as exc:
+            raise JobFailed(f"unreadable scenario npz: {exc!r}") from exc
+        if p0.ndim != 2 or p0.shape[1] != 2 * m:
+            raise JobFailed(f"p0 must be (B, {2 * m}), got {p0.shape}")
+        if target.shape != p0.shape:
+            raise JobFailed(f"target must match p0 {p0.shape}, "
+                            f"got {target.shape}")
+        if depth.shape != (p0.shape[0], m):
+            raise JobFailed(f"depth must be ({p0.shape[0]}, {m}), "
+                            f"got {depth.shape}")
         return Scenario(p0=p0, target=target, depth=depth, us0=us0)
 
     def process_mpc(self, body: dict) -> dict:
@@ -159,17 +204,23 @@ class Worker:
         """
         from openmp_parallel_computing_tpu.models.mpc import Scenario
 
-        scenario_key = body["scenario_key"]
-        devices_req = int(body.get("devices", 1))
-        repeat = max(1, int(body.get("repeat", 1)))
+        try:
+            scenario_key = str(body["scenario_key"])
+            devices_req = int(body.get("devices", 1))
+            repeat = max(1, min(int(body.get("repeat", 1)), MAX_REPEAT))
+        except (KeyError, TypeError, ValueError) as exc:
+            raise JobFailed(f"malformed mpc job: {exc!r}") from exc
         dmpc, cfg, devices = self._mpc_engine(body.get("config", {}),
                                               devices_req)
 
-        scen = self._load_scenario(scenario_key)
+        scen = self._load_scenario(scenario_key, cfg.num_features)
         B = scen.p0.shape[0]
         if scen.us0 is None:
             scen = scen._replace(
                 us0=np.zeros((B, cfg.horizon, 6), np.float32))
+        elif scen.us0.shape != (B, cfg.horizon, 6):
+            raise JobFailed(f"us0 must be ({B}, {cfg.horizon}, 6), "
+                            f"got {scen.us0.shape}")
 
         if body.get("frame_key"):
             with tempfile.TemporaryDirectory() as td:
@@ -228,7 +279,9 @@ class Worker:
                     "u0": u0, "costs": costs, "res": res})
 
         if not np.all(np.isfinite(costs)):
-            raise RuntimeError("non-finite MPC costs; job failed")
+            # Deterministic: the checkpointed partials would replay the
+            # same non-finite costs on every redelivery.
+            raise JobFailed("non-finite MPC costs; job failed")
 
         out = io.BytesIO()
         np.savez(out, u0=u0, costs=costs, primal_residual=res)
@@ -252,6 +305,32 @@ class Worker:
         if ckpt_path.is_file():
             ckpt_path.unlink()  # job complete; drop the resume snapshot
         metrics.inc("worker.mpc_jobs")
+        return completion
+
+    def _fail_mpc(self, body: dict, reason: str) -> dict:
+        """Record a deterministic job failure and let the message ack.
+
+        Publishes an error completion (the status-poll contract keys) and
+        drops the resume checkpoint — without this, a poisoned checkpoint
+        plus at-least-once redelivery replays the failure forever and the
+        queue never drains past the bad job.
+        """
+        import json as _json
+
+        scenario_key = str(body.get("scenario_key", ""))
+        base = Path(scenario_key).name or "unknown"
+        ckpt = Path(self.cfg.root) / "checkpoints" / f"mpc_{base}.npz"
+        if ckpt.is_file():
+            ckpt.unlink()
+        completion = {
+            "scenario_key": scenario_key,
+            "image_key": scenario_key,   # status-poll contract key
+            "error": reason,
+        }
+        self.store.put(f"status/{base}.json",
+                       _json.dumps(completion).encode())
+        self.done.publish(completion)
+        metrics.inc("worker.mpc_failed")
         return completion
 
     def run(self, stop_when_empty: bool = False) -> None:

@@ -646,10 +646,19 @@ class VisualServoMPC:
         sol = self._solve_pyramid(pyramid, frame.shape[1:], scen)
         return sol.us[:, 0], sol
 
-    def __hash__(self):  # jit static self: hash by config contents
-        return hash(dataclasses.astuple(self.cfg))
+    # jit static self: the key must cover everything the traced program
+    # depends on — the config AND the module-level PACK_SPEED table, whose
+    # entries steer the static sublane-layout choice (_choose_pack) inside
+    # the trace. Hashing the table at call time means a repinned table
+    # (bench.pack_study's layout A/B) retraces instead of silently reusing
+    # the other layout's executable.
+    def _static_key(self):
+        return (dataclasses.astuple(self.cfg),
+                tuple(sorted(PACK_SPEED.items())))
+
+    def __hash__(self):
+        return hash(self._static_key())
 
     def __eq__(self, other):
         return (isinstance(other, VisualServoMPC)
-                and dataclasses.astuple(self.cfg)
-                == dataclasses.astuple(other.cfg))
+                and self._static_key() == other._static_key())

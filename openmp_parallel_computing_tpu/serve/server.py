@@ -50,11 +50,15 @@ from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
 
 
 class _WarmCache:
-    """Thread-safe bounded record of already-warmed jit cache keys.
+    """Thread-safe bounded once-per-key warm coordinator.
 
-    Bounded LRU so shape churn cannot grow it without limit; the benign
-    race (two threads warming the same key once each) costs a duplicate
-    cached-compile lookup, never wrong results.
+    ``claim(key)`` returns ``(event, owner)``: exactly one caller becomes
+    the owner (runs the warm compile, then ``done(key)``); everyone else
+    waits on the event *before* timing, so a concurrent first request can
+    never charge the compile to its X-Compute span. A failed warm calls
+    ``abort(key)`` so the next request retries instead of timing a cold
+    executable forever. Bounded LRU so shape churn cannot grow it without
+    limit.
     """
 
     def __init__(self, cap: int = 256):
@@ -62,18 +66,74 @@ class _WarmCache:
         self._keys: collections.OrderedDict = collections.OrderedDict()
         self._cap = cap
 
-    def needs_warm(self, key) -> bool:
-        """Mark key warmed; return True if it was not already recorded."""
+    def claim(self, key) -> tuple[threading.Event, bool]:
         with self._lock:
-            seen = key in self._keys
-            self._keys[key] = None
+            ev = self._keys.get(key)
+            owner = ev is None
+            if owner:
+                ev = self._keys[key] = threading.Event()
             self._keys.move_to_end(key)
             while len(self._keys) > self._cap:
                 self._keys.popitem(last=False)
-            return not seen
+            return ev, owner
+
+    def done(self, key) -> None:
+        with self._lock:
+            ev = self._keys.get(key)
+        if ev is not None:
+            ev.set()
+
+    def abort(self, key) -> None:
+        with self._lock:
+            ev = self._keys.pop(key, None)
+        if ev is not None:
+            ev.set()  # release waiters; they fall through and retry
+
+
+def _ensure_warm(key, run_fn) -> None:
+    """Warm-once barrier: owner compiles inside a device slot, others wait."""
+    ev, owner = _warmed.claim(key)
+    if owner:
+        try:
+            with _device_slots:
+                run_fn()
+        except Exception:
+            _warmed.abort(key)
+            raise
+        _warmed.done(key)
+    else:
+        ev.wait(timeout=600.0)
+
+
+class _ShapeGate:
+    """Bounded admission of distinct image shapes on the HTTP surface.
+
+    Every distinct frame shape keys new jit cache entries, and a first
+    compile takes minutes on the single relayed TPU — so an unauthenticated
+    client cycling image sizes could serialize the server into
+    back-to-back compiles (the same churn the horizon/features/passes
+    allowlists already prevent). First-come shapes are admitted up to
+    ``cap``; after that only already-admitted shapes pass. A one-camera
+    (or fixed-resolution fleet) deployment never notices the bound.
+    """
+
+    def __init__(self, cap: int = ServeConfig.max_shapes):
+        self._lock = threading.Lock()
+        self._shapes: set = set()
+        self.cap = cap
+
+    def admit(self, shape) -> bool:
+        with self._lock:
+            if shape in self._shapes:
+                return True
+            if len(self._shapes) >= self.cap:
+                return False
+            self._shapes.add(shape)
+            return True
 
 
 _warmed = _WarmCache()
+_shape_gate = _ShapeGate()
 
 # Bound on concurrent device computations. Request threads past the limit
 # wait here instead of queueing work on the chip (ServeConfig.max_inflight;
@@ -95,11 +155,13 @@ def process_image(data_hwc: np.ndarray, kernel: str, passes: int,
     """Run the kernel pipeline; returns (result HWC u8, device seconds)."""
     chw, orig_h = pad_rows(jnp.asarray(np.transpose(data_hwc, (2, 0, 1))),
                            devices)
-    key = (kernel, chw.shape, passes, devices)
+    # orig_h is part of the key: make_runner's border mask depends on it,
+    # so two images padding to the same shape still compile separately.
+    key = (kernel, chw.shape, passes, devices, orig_h)
     run = make_runner(kernel, passes, devices, orig_h=orig_h)
+    if warm:
+        _ensure_warm(key, lambda: np.asarray(run(chw)))
     with _device_slots:
-        if warm and _warmed.needs_warm(key):
-            _ = np.asarray(run(chw))  # keep compile out of X-Compute
         t0 = time.perf_counter()
         out = np.asarray(run(chw))
         compute_s = time.perf_counter() - t0
@@ -270,10 +332,13 @@ class ControlBatcher:
                         us0=jnp.zeros((bucket, horizon, 6), jnp.float32))
         frames = stacked("frame")
         warm_key = ("control", shape, horizon, m, bucket)
+
+        def _warm():
+            w_u0, _ = mpc.control_step_multi(frames, scen)
+            _ = np.asarray(w_u0)         # keep compile out of compute_s
+
+        _ensure_warm(warm_key, _warm)
         with _device_slots:
-            if _warmed.needs_warm(warm_key):
-                w_u0, _ = mpc.control_step_multi(frames, scen)
-                _ = np.asarray(w_u0)     # keep compile out of compute_s
             t0 = time.perf_counter()
             u0, sol = mpc.control_step_multi(frames, scen)
             u0 = np.asarray(u0)
@@ -320,6 +385,10 @@ def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
         raise ValueError(f"need 1..{MAX_FEATURES} features")
     if p0.size != 2 * m or target.size != 2 * m:
         raise ValueError("p0/target must have 2*len(depth) entries")
+    if not _shape_gate.admit(frame_hwc.shape):
+        raise ValueError(
+            f"too many distinct frame shapes this process "
+            f"(> {_shape_gate.cap}); resend at an already-served size")
     chw = np.ascontiguousarray(np.transpose(frame_hwc, (2, 0, 1)))
     return _batcher.submit(chw, p0, target, depth, horizon)
 
@@ -377,6 +446,12 @@ class Handler(BaseHTTPRequestHandler):
                 src = Path(td) / "upload"
                 src.write_bytes(image)
                 decoded = imgio.load(src)
+                if not _shape_gate.admit(decoded.shape):
+                    self.send_error(
+                        400, f"too many distinct image shapes this process "
+                             f"(> {_shape_gate.cap}); resend at an "
+                             f"already-served size")
+                    return
                 out_hwc, compute_s = process_image(decoded, kernel, passes,
                                                    devices)
                 dst = Path(td) / "out.png"
@@ -440,6 +515,7 @@ def serve(cfg: ServeConfig | None = None) -> ThreadingHTTPServer:
     global _device_slots
     _batcher.configure(cfg.batch_window_ms / 1e3, cfg.max_batch)
     _device_slots = threading.BoundedSemaphore(max(1, cfg.max_inflight))
+    _shape_gate.cap = max(1, cfg.max_shapes)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), Handler)
     return httpd
 

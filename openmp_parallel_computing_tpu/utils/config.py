@@ -85,6 +85,12 @@ class ServeConfig:
     # Bound on concurrent device computations (request threads beyond it
     # queue on a semaphore instead of piling work onto the chip).
     max_inflight: int = 2
+    # Bound on DISTINCT image shapes accepted per process: every new shape
+    # keys fresh jit cache entries (minutes-long first compiles on the
+    # relayed TPU), so unauthenticated shape churn is capped like the
+    # horizon/features/passes allowlists. First-come shapes are admitted;
+    # past the cap, unseen shapes get a 400.
+    max_shapes: int = 16
 
 
 @dataclasses.dataclass

@@ -1,0 +1,250 @@
+"""Failure-path hardening: dead-lettering, poisoned-job handling, compile-
+churn guards, and warm-once coordination.
+
+The reference's dispatch tier has none of this (a bad job kills the pika
+consumer and redelivers forever, ``event-driven/grayscale_service/
+app.py:38-94``); these tests pin the framework's stronger contract:
+deterministic failures ack with an error completion, retries are bounded by
+a dead-letter queue, and no unauthenticated knob can key unbounded jit
+compiles.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
+from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
+from openmp_parallel_computing_tpu.dispatch.validate import (
+    validate_mpc_config,
+)
+from openmp_parallel_computing_tpu.dispatch.worker import Worker
+from openmp_parallel_computing_tpu.utils.config import DispatchConfig
+
+CFG = {"horizon": 4, "num_features": 2, "ilqr_iters": 1, "admm_iters": 1}
+
+
+def _scenario_npz(b=4, nan=False):
+    rng = np.random.default_rng(0)
+    p0 = rng.uniform(-0.6, 0.6, (b, 4)).astype(np.float32)
+    if nan:
+        p0[0, 0] = np.nan
+    out = io.BytesIO()
+    np.savez(out, p0=p0,
+             target=rng.uniform(-0.5, 0.5, (b, 4)).astype(np.float32),
+             depth=rng.uniform(1.0, 5.0, (b, 2)).astype(np.float32))
+    return out.getvalue()
+
+
+class TestDeadLetter:
+    def test_redelivery_bounded_then_dead(self, tmp_path):
+        q = DurableQueue(tmp_path, "jobs", max_deliveries=3)
+        q.publish({"x": 1})
+        for _ in range(3):
+            job = q.claim()
+            assert job is not None and job.body == {"x": 1}
+            q.nack(job)
+        assert q.claim() is None            # dead-lettered, queue drained
+        dead = list(q.dead.glob("*.json"))
+        assert len(dead) == 1
+        body = json.loads(dead[0].read_text())
+        assert body["x"] == 1 and body["_deliveries"] == 3
+
+    def test_counter_survives_visibility_expiry(self, tmp_path):
+        """Deliveries via expiry (worker death, no nack) count too."""
+        q = DurableQueue(tmp_path, "jobs", visibility_timeout_s=0.0,
+                         max_deliveries=2)
+        q.publish({"x": 2})
+        import time
+
+        for _ in range(2):                  # claim, "die", expire, redeliver
+            job = q.claim()
+            assert job is not None and job.body == {"x": 2}
+            time.sleep(0.01)                # let the mtime age past 0
+            q._last_requeue_sweep = 0.0     # defeat the sweep throttle
+        assert q.claim() is None            # third delivery dead-letters
+        assert len(list(q.dead.glob("*.json"))) == 1
+
+
+class TestPoisonedMPCJobs:
+    """Deterministically bad jobs ack with an error completion instead of
+    crash-looping the worker behind at-least-once redelivery."""
+
+    def _run(self, tmp_path, body_overrides=None, npz=None):
+        cfg = DispatchConfig(root=str(tmp_path / "d"))
+        store = ObjectStore(cfg.root)
+        key = store.put("uploads/abc_scen.npz", npz or _scenario_npz())
+        job = {"type": "mpc", "scenario_key": key, "config": dict(CFG),
+               "devices": 1}
+        job.update(body_overrides or {})
+        DurableQueue(cfg.root, cfg.queue).publish(job)
+        Worker(cfg).run(stop_when_empty=True)    # must not raise
+        status = json.loads(store.get("status/abc_scen.npz.json"))
+        jobs = DurableQueue(cfg.root, cfg.queue)
+        assert jobs.depth() == 0                 # acked, not redelivered
+        assert not list(jobs.inflight.glob("*.json"))
+        return cfg, status
+
+    def test_invalid_config_rejected(self, tmp_path):
+        _, status = self._run(
+            tmp_path, {"config": {**CFG, "horizon": 499}})
+        assert "horizon" in status["error"]
+
+    def test_unknown_config_field_rejected(self, tmp_path):
+        _, status = self._run(
+            tmp_path, {"config": {**CFG, "backend": "reference"}})
+        assert "unknown config fields" in status["error"]
+
+    def test_malformed_npz(self, tmp_path):
+        _, status = self._run(tmp_path, npz=b"not an npz at all")
+        assert "unreadable scenario npz" in status["error"]
+
+    def test_wrong_shapes(self, tmp_path):
+        out = io.BytesIO()
+        np.savez(out, p0=np.zeros((4, 6), np.float32),   # 3 features
+                 target=np.zeros((4, 6), np.float32),
+                 depth=np.zeros((4, 3), np.float32))
+        _, status = self._run(tmp_path, npz=out.getvalue())
+        assert "p0 must be" in status["error"]
+
+    def test_nan_scenario_chunked_cleans_checkpoint(self, tmp_path):
+        """Non-finite costs on a chunked job: the resume checkpoint is
+        removed with the failure, so a redelivery could never replay the
+        poisoned partials."""
+        from pathlib import Path
+
+        cfg, status = self._run(tmp_path, {"chunk": 2},
+                                npz=_scenario_npz(b=4, nan=True))
+        assert "non-finite" in status["error"]
+        ckpts = list((Path(cfg.root) / "checkpoints").glob("*.npz")) \
+            if (Path(cfg.root) / "checkpoints").is_dir() else []
+        assert ckpts == []
+
+    def test_transient_errors_still_redeliver(self, tmp_path):
+        """Non-JobFailed exceptions keep the nack/redeliver contract."""
+        cfg = DispatchConfig(root=str(tmp_path / "t"))
+        store = ObjectStore(cfg.root)
+        key = store.put("uploads/abc_scen.npz", _scenario_npz())
+        DurableQueue(cfg.root, cfg.queue).publish(
+            {"type": "mpc", "scenario_key": key, "config": dict(CFG),
+             "devices": 1})
+        w = Worker(cfg)
+        w._mpc_engine = lambda *a, **k: (_ for _ in ()).throw(
+            OSError("store unreachable"))
+        with pytest.raises(OSError):
+            w.run(stop_when_empty=True)
+        jobs = DurableQueue(cfg.root, cfg.queue)
+        assert jobs.depth() == 1                 # nacked back for retry
+
+
+class TestConfigValidation:
+    def test_bounds(self):
+        assert validate_mpc_config(dict(CFG)) == CFG
+        for bad in ({"horizon": 0}, {"horizon": 65}, {"num_features": 17},
+                    {"ilqr_iters": 21}, {"admm_iters": "abc"},
+                    {"nonsense": 1}):
+            with pytest.raises(ValueError):
+                validate_mpc_config(bad)
+
+    def test_frontend_http_400s(self, tmp_path):
+        import threading
+
+        import requests
+
+        from openmp_parallel_computing_tpu.dispatch.frontend import (
+            serve as serve_frontend)
+
+        cfg = DispatchConfig(root=str(tmp_path / "h"))
+        httpd, state = serve_frontend(cfg, port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            port = httpd.server_address[1]
+            url = f"http://127.0.0.1:{port}/mpc"
+            npz = _scenario_npz()
+            for data in ({"horizon": "abc"},          # unparseable int
+                         {"horizon": "499"},          # out of bounds
+                         {"repeat": "0"}):            # out of bounds
+                resp = requests.post(
+                    url, files={"scenarios": ("scen.npz", npz)}, data=data)
+                assert resp.status_code == 400, data
+            # nothing was published for any rejected request
+            assert DurableQueue(cfg.root, cfg.queue).depth() == 0
+        finally:
+            httpd.shutdown()
+            state.shutdown()
+
+
+class TestServeGuards:
+    def test_shape_gate_bounds_distinct_shapes(self):
+        from openmp_parallel_computing_tpu.serve.server import _ShapeGate
+
+        gate = _ShapeGate(cap=2)
+        assert gate.admit((3, 32, 32))
+        assert gate.admit((3, 32, 32))      # repeat: always admitted
+        assert gate.admit((3, 64, 64))
+        assert not gate.admit((3, 128, 128))  # cap reached, unseen shape
+        assert gate.admit((3, 64, 64))        # seen shapes keep working
+
+    def test_control_request_rejects_new_shape_past_cap(self, monkeypatch):
+        from openmp_parallel_computing_tpu.serve import server as srv
+
+        gate = srv._ShapeGate(cap=1)
+        assert gate.admit((8, 8, 3))
+        monkeypatch.setattr(srv, "_shape_gate", gate)
+        frame = np.zeros((16, 16, 3), np.uint8)
+        fields = {"p0": "0.1,0.1,0.2,0.2", "target": "0,0,0,0",
+                  "depth": "2.0,2.0", "horizon": "20"}
+        with pytest.raises(ValueError, match="distinct frame shapes"):
+            srv.control_request(frame, fields)
+
+    def test_warm_cache_once_semantics(self):
+        from openmp_parallel_computing_tpu.serve.server import _WarmCache
+
+        wc = _WarmCache(cap=4)
+        ev, owner = wc.claim("k")
+        assert owner and not ev.is_set()
+        ev2, owner2 = wc.claim("k")
+        assert not owner2 and ev2 is ev      # same event, single owner
+        wc.done("k")
+        assert ev.is_set()
+
+    def test_warm_cache_abort_allows_retry(self):
+        from openmp_parallel_computing_tpu.serve.server import _WarmCache
+
+        wc = _WarmCache(cap=4)
+        ev, owner = wc.claim("k")
+        assert owner
+        wc.abort("k")                        # warm compile failed
+        assert ev.is_set()                   # waiters released
+        _, owner2 = wc.claim("k")
+        assert owner2                        # next request retries the warm
+
+
+class TestPackSpeedKeying:
+    def test_repinned_pack_table_retraces(self, monkeypatch):
+        """The sublane-layout cost table steers a static choice inside the
+        traced program, so it must be part of the jit key — otherwise an
+        in-process layout A/B (bench.pack_study) silently re-times the
+        first layout's executable."""
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+        from openmp_parallel_computing_tpu.models.mpc.solver import (
+            VisualServoMPC)
+        from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+        cfg = MPCConfig(horizon=4, num_features=2,
+                        ilqr_iters=1, admm_iters=1)
+        mpc = VisualServoMPC(cfg)
+        # jit hashes static args at CALL time: the key under one table
+        # must differ from the key under another for the same engine.
+        monkeypatch.setattr(S, "PACK_SPEED", {1: 1.0})
+        key_lane, hash_lane = mpc._static_key(), hash(mpc)
+        monkeypatch.setattr(S, "PACK_SPEED", {8: 1.0})
+        assert mpc._static_key() != key_lane
+        assert hash(mpc) != hash_lane
+        # equal table + equal config still hit the cache (no retrace churn)
+        other = VisualServoMPC(cfg)
+        assert mpc == other and hash(mpc) == hash(other)

@@ -213,27 +213,35 @@ class TestConcurrentHTTP:
 
 
 class TestWarmCache:
-    def test_needs_warm_once_and_bounded(self):
+    def test_claim_once_and_bounded(self):
         cache = srv._WarmCache(cap=3)
-        assert cache.needs_warm("a")
-        assert not cache.needs_warm("a")
+        _, owner = cache.claim("a")
+        assert owner
+        _, owner = cache.claim("a")
+        assert not owner
         for k in ("b", "c", "d"):   # evicts "a" (cap 3, LRU)
-            cache.needs_warm(k)
-        assert cache.needs_warm("a")
+            cache.claim(k)
+        _, owner = cache.claim("a")
+        assert owner
 
-    def test_thread_safe_under_contention(self):
+    def test_thread_safe_single_owner_under_contention(self):
         cache = srv._WarmCache(cap=64)
-        hits = []
+        owners: list = []
 
         def worker(seed):
             for i in range(200):
-                if cache.needs_warm(("k", i % 50)):
-                    hits.append(i)
+                ev, owner = cache.claim(("k", i % 50))
+                if owner:
+                    owners.append(("k", i % 50))
+                    cache.done(("k", i % 50))
+                else:
+                    ev.wait(timeout=5)
 
         ts = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
         for t in ts:
             t.start()
         for t in ts:
             t.join()
-        # no exceptions, and the cache never exceeded its bound
+        # exactly one owner per key, and the cache never exceeded its bound
+        assert len(owners) == len(set(owners))
         assert len(cache._keys) <= 64
