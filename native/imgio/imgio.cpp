@@ -57,6 +57,15 @@ unsigned char *decode_jpeg(FILE *fp, int *w, int *h, int *channels) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, fp);
   jpeg_read_header(&cinfo, TRUE);
+  // CMYK/YCCK sources: libjpeg cannot convert these to RGB, and passing
+  // 4-component CMYK through as if it were RGBA silently inverts every
+  // pixel downstream. Reject them (stb_image, the reference's layer,
+  // converts; until we do, an error beats wrong image data).
+  if (cinfo.jpeg_color_space == JCS_CMYK ||
+      cinfo.jpeg_color_space == JCS_YCCK) {
+    set_error("jpeg: CMYK/YCCK color space is not supported");
+    std::longjmp(jerr.jump, 1);
+  }
   jpeg_start_decompress(&cinfo);
   *w = static_cast<int>(cinfo.output_width);
   *h = static_cast<int>(cinfo.output_height);
@@ -88,6 +97,13 @@ unsigned char *decode_png(FILE *fp, int *w, int *h, int *channels) {
     return nullptr;
   }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    // With a null info libpng's read calls silently no-op instead of
+    // longjmp-ing, yielding a 0x0 "successful" decode.
+    set_error("png: create_info_struct failed");
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return nullptr;
+  }
   // volatile: modified after setjmp (see decode_jpeg).
   unsigned char *volatile out = nullptr;
   png_bytep *volatile rows = nullptr;

@@ -126,9 +126,24 @@ def save_jpeg(path: str | os.PathLike, img: np.ndarray,
 
 
 def _load_pil(path) -> np.ndarray:
+    """Pillow fallback, normalized to the native codec's output.
+
+    The C codec (native/imgio/imgio.cpp) expands palette PNGs to RGB(A)
+    (png_set_palette_to_rgb / tRNS->alpha) and strips 16-bit channels to
+    their high byte (png_set_strip_16); without matching conversions the
+    fallback would return raw palette indices or values mod 256 — same
+    file, different pixels depending on which install decodes it.
+    """
     from PIL import Image
 
-    arr = np.asarray(Image.open(path))
+    img = Image.open(path)
+    if img.mode == "P":
+        img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        # 16-bit channels (PIL modes I;16 / I): high byte == strip_16.
+        arr = np.clip(np.right_shift(arr.astype(np.int64), 8),
+                      0, 255).astype(np.uint8)
     if arr.ndim == 2:
         arr = arr[..., None]
     return np.ascontiguousarray(arr, dtype=np.uint8)

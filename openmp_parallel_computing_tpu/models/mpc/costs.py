@@ -249,7 +249,12 @@ def make_expansions(pyramid, shape: tuple[int, int], target: jax.Array,
         H = us.shape[0]
         dtype = ps.dtype
         lx = 2.0 * q_track * (ps[:-1] - target)
+        g = None
         if q_edge:
+            # One vmapped evaluation covers all H+1 states; the terminal
+            # row g[-1] is reused for vx below (a separate
+            # jax.grad(edge_only)(ps[-1]) is a fresh trace XLA won't CSE,
+            # and the pyramid sampler gradient dominates expansion cost).
             g = edge_grads if edge_grads is not None else edge_grad(ps)
             lx = lx + q_edge * g[:-1]
         lu = 2.0 * r_ctrl * us
@@ -261,8 +266,7 @@ def make_expansions(pyramid, shape: tuple[int, int], target: jax.Array,
         lux = jnp.zeros((H, us.shape[-1], n), dtype)
         vx = 2.0 * q_track * (ps[-1] - target)
         if q_edge:
-            vx = vx + q_edge * (edge_grads[-1] if edge_grads is not None
-                                else jax.grad(edge_only)(ps[-1]))
+            vx = vx + q_edge * g[-1]
         vxx = 2.0 * q_track * eye_n
         return lx, lu, lxx, luu, lux, vx, vxx
 

@@ -158,11 +158,24 @@ class DistributedMPC:
                 self.mesh.shape[MODEL]:
             raise ValueError("frame height not divisible by model axis")
         frame = jnp.asarray(frame)
+        n_model = self.mesh.shape[MODEL]
+        frame_spec = (P(None, MODEL, None) if n_model > 1 else P())
+        sharding = NamedSharding(self.mesh, frame_spec)
         if jax.process_count() == 1:
-            n_model = self.mesh.shape[MODEL]
-            frame_spec = (P(None, MODEL, None) if n_model > 1 else P())
-            frame = jax.device_put(
-                frame, NamedSharding(self.mesh, frame_spec))
+            frame = jax.device_put(frame, sharding)
+        else:
+            # Multi-host: every process ingests the full camera frame
+            # (unlike scenarios, which arrive as per-process slices).
+            # Assemble the GLOBAL array by serving each addressable shard
+            # from the local copy — a host-local array fed straight into
+            # the multi-process jit only works for the fully-replicated
+            # spec (uncommitted-input replication) and cannot express the
+            # MODEL-sharded frame.
+            import numpy as np
+
+            local = np.asarray(frame)
+            frame = jax.make_array_from_callback(
+                local.shape, sharding, lambda idx: local[idx])
         return frame, self.shard_scenarios(scen)
 
     def solve(self, frame, scen: Scenario):

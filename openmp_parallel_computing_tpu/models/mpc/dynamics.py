@@ -48,12 +48,18 @@ def interaction_matrix(p: jax.Array, depth: jax.Array) -> jax.Array:
     return jnp.stack([row_x, row_y], axis=1).reshape(-1, CONTROL_DIM)
 
 
+def step_unclamped(p: jax.Array, u: jax.Array, depth: jax.Array,
+                   dt: float) -> jax.Array:
+    """One Euler step of the smooth feature dynamics (no trust region)."""
+    return p + dt * interaction_matrix(p, depth) @ u
+
+
 def step(p: jax.Array, u: jax.Array, depth: jax.Array,
          dt: float) -> jax.Array:
     """One Euler step of the feature dynamics (state clamped to the
     trust region, see STATE_LIMIT)."""
-    nxt = p + dt * interaction_matrix(p, depth) @ u
-    return jnp.clip(nxt, -STATE_LIMIT, STATE_LIMIT)
+    return jnp.clip(step_unclamped(p, u, depth, dt),
+                    -STATE_LIMIT, STATE_LIMIT)
 
 
 def rollout(p0: jax.Array, us: jax.Array, depth: jax.Array,
@@ -72,8 +78,18 @@ def rollout(p0: jax.Array, us: jax.Array, depth: jax.Array,
 
 
 def linearize(p: jax.Array, u: jax.Array, depth: jax.Array, dt: float):
-    """Jacobians (fx, fu) of ``step`` at one (p, u): (2m, 2m), (2m, 6)."""
-    fx = jax.jacrev(lambda q: step(q, u, depth, dt))(p)
+    """Jacobians (fx, fu) of ``step_unclamped`` at one (p, u).
+
+    Deliberately the SMOOTH dynamics: the STATE_LIMIT clip in ``step`` is
+    a rollout trust-region safeguard, not a modeled dynamic — where it
+    binds, its true Jacobian rows are zero, and feeding those to the
+    Riccati sweep would zero the gains exactly where the solver needs
+    authority to pull a saturated candidate back (the line-search
+    J-comparison plus the finite-J candidate pick already absorb the
+    local-model mismatch). All backends (reference, fused, the Pallas
+    sweep kernels, and ``linearize_analytic``) share this convention.
+    """
+    fx = jax.jacrev(lambda q: step_unclamped(q, u, depth, dt))(p)
     fu = dt * interaction_matrix(p, depth)
     return fx, fu
 
@@ -88,8 +104,11 @@ def linearize_analytic(p: jax.Array, u: jax.Array, depth: jax.Array,
         dydot/dx = -y*wy - wz               dydot/dy = vz/Z + 2y*wx - x*wy
 
     so fx = I + dt * blockdiag(...). Verified against ``linearize`` in
-    tests. Identical math an order of magnitude cheaper inside the iLQR
-    sweep (the reference-free analogue of hand-written stencil derivatives).
+    tests (both linearize the smooth ``step_unclamped`` — see the
+    ``linearize`` docstring for why the STATE_LIMIT clip is excluded from
+    the local model). Identical math an order of magnitude cheaper inside
+    the iLQR sweep (the reference-free analogue of hand-written stencil
+    derivatives).
     """
     pts = p.reshape(-1, 2)
     x, y = pts[:, 0], pts[:, 1]

@@ -27,7 +27,7 @@ from openmp_parallel_computing_tpu.ops._tiling import (
     pad2d,
 )
 from openmp_parallel_computing_tpu.ops.grayscale import pick_strip
-from openmp_parallel_computing_tpu.ops.sobel import _shift_cols
+from openmp_parallel_computing_tpu.ops.sobel import stencil_mag
 
 
 def _luma_u8(block: jax.Array) -> jax.Array:
@@ -44,31 +44,12 @@ def _luma_u8(block: jax.Array) -> jax.Array:
 def _strip_mag(up_ref, cur_ref, dn_ref, *, i, th: int, h: int, w: int,
                border: str) -> jax.Array:
     """Sobel magnitude (f32, u8-valued) for row-strip ``i`` of a planar u8
-    image, luma formed in-register from the 3-view halo blocks. The shared
-    stencil of the fused edge pipeline and the fused pyramid kernel."""
-    cur = _luma_u8(cur_ref[...])
-    up_last = _luma_u8(up_ref[:, th - 1:th, :])
-    dn_first = _luma_u8(dn_ref[:, 0:1, :])
-
-    above = jnp.concatenate([up_last, cur[:-1]], axis=0)
-    below = jnp.concatenate([cur[1:], dn_first], axis=0)
-
-    gx = (-_shift_cols(above, -1) - 2.0 * _shift_cols(cur, -1)
-          - _shift_cols(below, -1)
-          + _shift_cols(above, 1) + 2.0 * _shift_cols(cur, 1)
-          + _shift_cols(below, 1))
-    gy = (_shift_cols(above, -1) + 2.0 * above + _shift_cols(above, 1)
-          - _shift_cols(below, -1) - 2.0 * below - _shift_cols(below, 1))
-
-    mag = jnp.minimum(jnp.floor(jnp.sqrt(gx * gx + gy * gy)), 255.0)
-
-    if border == "zero":
-        shape = cur.shape
-        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * th
-        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)
-        mag = jnp.where(interior, mag, 0.0)
-    return mag
+    image, luma formed in-register from the 3-view halo blocks; stencil
+    shared with ``ops.sobel`` (sobel.stencil_mag)."""
+    return stencil_mag(_luma_u8(up_ref[:, th - 1:th, :]),
+                       _luma_u8(cur_ref[...]),
+                       _luma_u8(dn_ref[:, 0:1, :]),
+                       i=i, th=th, h=h, w=w, border=border)
 
 
 def _edge_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int, h: int, w: int,

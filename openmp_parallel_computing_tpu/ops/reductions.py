@@ -50,7 +50,7 @@ def _channel_sum_kernel(img_ref, out_ref):
 def channel_sum(img: jax.Array) -> jax.Array:
     """Planar (C, H, W) -> (C,) float32 per-channel sum."""
     c, h, w = img.shape
-    th = pick_strip(h)
+    th = pick_strip(h, w)
     x = pad2d(img, th, LANE)  # zero padding does not affect the sum
     _, hp, wp = x.shape
     lanes = pl.pallas_call(
@@ -109,7 +109,7 @@ def grayscale_mean_minmax(img: jax.Array):
     the reference's integer (r+g+b)/3 semantics.
     """
     c, h, w = img.shape
-    th = pick_strip(h)
+    th = pick_strip(h, w)
     x = pad2d(img, th, LANE)
     _, hp, wp = x.shape
     gray, mins, maxs = pl.pallas_call(

@@ -44,12 +44,22 @@ def _shift_cols(x: jax.Array, dx: int) -> jax.Array:
     return jnp.concatenate([x[:, dx:], zeros], axis=1)
 
 
-def _sobel_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int,
-                  h: int, w: int, border: str):
-    i = pl.program_id(0)
-    cur = cast(cur_ref[...], jnp.float32)
-    up_last = cast(up_ref[th - 1:th], jnp.float32)
-    dn_first = cast(dn_ref[0:1], jnp.float32)
+def stencil_mag(up_last: jax.Array, cur: jax.Array, dn_first: jax.Array,
+                *, i, th: int, h: int, w: int, border: str) -> jax.Array:
+    """Shared 3x3 Sobel stencil on an f32 row-strip with one halo row per
+    side — the single implementation behind ``ops.sobel``, the fused edge
+    pipeline, and the fused pyramid kernel.
+
+    Out-of-plane neighbors are ZERO in both border modes: the clamped
+    BlockSpec index maps hand the first/last strip its own rows as halo,
+    so their contribution is masked here. (Without the mask,
+    ``border="none"`` wrapped the strip edge rows — the documented
+    zero-out-of-plane contract only held because in-tree sharded callers
+    crop exactly those rows.)
+    """
+    n = pl.num_programs(0)
+    up_last = up_last * (i > 0).astype(jnp.float32)
+    dn_first = dn_first * (i < n - 1).astype(jnp.float32)
 
     # Rows of the logical image at y-1 / y / y+1 for each row of this strip.
     above = jnp.concatenate([up_last, cur[:-1]], axis=0)
@@ -70,6 +80,15 @@ def _sobel_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int,
         col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)
         mag = jnp.where(interior, mag, 0.0)
+    return mag
+
+
+def _sobel_kernel(up_ref, cur_ref, dn_ref, out_ref, *, th: int,
+                  h: int, w: int, border: str):
+    mag = stencil_mag(cast(up_ref[th - 1:th], jnp.float32),
+                      cast(cur_ref[...], jnp.float32),
+                      cast(dn_ref[0:1], jnp.float32),
+                      i=pl.program_id(0), th=th, h=h, w=w, border=border)
     # Mosaic has no direct f32->u8 cast; hop through int32.
     out_ref[...] = mag.astype(jnp.int32).astype(jnp.uint8)
 

@@ -155,3 +155,49 @@ class TestConfig:
     def test_defaults(self):
         cfg = load_config(env={})
         assert cfg.mpc.horizon == 20 and cfg.mesh.data == -1
+
+
+class TestCodecFallbackParity:
+    """The Pillow fallback must return the same pixels as the native codec
+    (native/imgio/imgio.cpp normalizes palette -> RGB(A) and strips 16-bit
+    channels to the high byte; a fallback that skips those conversions
+    feeds different image data to the kernels depending on the install)."""
+
+    def _native_or_skip(self, path):
+        import pytest
+
+        from openmp_parallel_computing_tpu import imgio as im
+
+        if im._load_lib() is None:
+            pytest.skip("native codec not built")
+        return im.load(path)
+
+    def test_palette_png(self, tmp_path):
+        from PIL import Image
+
+        from openmp_parallel_computing_tpu import imgio as im
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        p = tmp_path / "pal.png"
+        Image.fromarray(rgb).convert(
+            "P", palette=Image.Palette.ADAPTIVE).save(p)
+        native = self._native_or_skip(p)
+        fallback = im._load_pil(p)
+        assert native.shape == fallback.shape == (24, 32, 3)
+        np.testing.assert_array_equal(native, fallback)
+
+    def test_16bit_png(self, tmp_path):
+        from PIL import Image
+
+        from openmp_parallel_computing_tpu import imgio as im
+
+        rng = np.random.default_rng(4)
+        g16 = rng.integers(0, 65536, (16, 20), dtype=np.uint16)
+        p = tmp_path / "g16.png"
+        Image.fromarray(g16).save(p)
+        native = self._native_or_skip(p)
+        fallback = im._load_pil(p)
+        assert native.shape == fallback.shape
+        np.testing.assert_array_equal(native, fallback)
+        np.testing.assert_array_equal(fallback[..., 0], (g16 >> 8))

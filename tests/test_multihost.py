@@ -48,6 +48,17 @@ WORKER = textwrap.dedent("""
     u0, mean_cost, res = dmpc.solve(frame, scen)
     assert u0.shape[0] == local * nproc
     assert bool(jnp.isfinite(mean_cost))
+
+    # Model-sharded mesh across hosts: the frame must be assembled into a
+    # GLOBAL array sharded over MODEL (regression: _prepare used to leave
+    # it host-local in multi-process mode, which only the fully-replicated
+    # spec tolerates).
+    mesh2 = parallel.make_mesh(data=jax.device_count() // 2, model=2)
+    dmpc2 = DistributedMPC(cfg, mesh2)
+    u0b, cost_b, _ = dmpc2.solve(frame, scen)
+    assert u0b.shape[0] == local * nproc
+    assert abs(float(cost_b) - float(mean_cost)) < 1e-3 * (
+        1.0 + abs(float(mean_cost)))
     print(f"OK proc={pid} cost={float(mean_cost):.4f}")
 """)
 

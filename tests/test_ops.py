@@ -110,6 +110,19 @@ class TestSobel:
         img = np.full((64, 128), 77, np.uint8)
         assert np.asarray(ops.sobel(img)).max() == 0
 
+    def test_border_none_zero_out_of_plane(self, rng):
+        """border="none" computes every row as interior with ZERO
+        out-of-plane neighbors — the first/last strip must not wrap its
+        own rows in as halo (regression: the clamped BlockSpec views fed
+        the strip's opposite edge row before stencil_mag masked it)."""
+        img = rng.integers(1, 256, size=(96, 128), dtype=np.uint8)
+        got = np.asarray(ops.sobel(img, strip=32, border="none"))
+        # expected: interior stencil of the zero-padded plane, all rows
+        padded = np.zeros((98, 130), np.uint8)
+        padded[1:-1, 1:-1] = img
+        want = np.asarray(xla_ref.sobel(padded))[1:-1, 1:-1]
+        np.testing.assert_array_equal(got, want)
+
 
 class TestEdgePipeline:
     def test_pallas_matches_twin(self, small_rgb):
