@@ -19,44 +19,30 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def run(scenarios: int = 256, reps: int = 40, trials: int = 6,
         edge_refresh: str = "solve") -> dict:
-    from openmp_parallel_computing_tpu import imgio
+    import statistics
+
+    from openmp_parallel_computing_tpu.bench._chain import (
+        chain_throughput,
+        load_headline_frame,
+    )
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
     cfg = MPCConfig(horizon=20, num_features=8, scenarios=scenarios,
                     ilqr_iters=3, admm_iters=5, edge_refresh=edge_refresh)
     mpc = VisualServoMPC(cfg)
-    frame_hwc = imgio.load("/root/reference/images/test.jpg")
-    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
-    scen = mpc.random_scenarios(jax.random.PRNGKey(0), scenarios)
-    scen = jax.tree.map(jax.device_put, scen)
-
-    def step(s):
-        u0, sol = mpc.control_step(frame, s)
-        return u0, s._replace(us0=jnp.roll(sol.us, -1, axis=1))
-
-    u0, s = step(scen)
-    np.asarray(u0)  # compile + honest sync (relay: block_until_ready lies)
-
-    vals = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            u0, s = step(s)
-        np.asarray(u0)
-        vals.append(scenarios * reps / (time.perf_counter() - t0))
+    vals = chain_throughput(mpc, load_headline_frame(), scenarios, reps,
+                            trials=trials)
+    # statistics.median averages the middle pair on even trial counts —
+    # sorted()[len//2] is the upper-middle element, which systematically
+    # flatters whichever variant had a luckier upper half in an A/B.
     return {"chains": [round(v) for v in vals],
             "best": round(max(vals)),
-            "median": round(sorted(vals)[len(vals) // 2])}
+            "median": round(statistics.median(vals))}
 
 
 def main() -> None:

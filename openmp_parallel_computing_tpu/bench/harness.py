@@ -57,10 +57,15 @@ def bench_kernel(image: str | Path | np.ndarray, workers=(1,), runs: int = 3,
     out_dir.mkdir(parents=True, exist_ok=True)
     rows: list[SweepRow] = []
     n_dev = len(jax.devices())
+    usable = [w for w in workers if w <= n_dev]
+    if not usable:
+        # Fail loudly: silently skipping every count writes an empty CSV
+        # and plot_sweep then crashes on ts[0] with a baffling IndexError.
+        raise ValueError(
+            f"requested worker counts {tuple(workers)} all exceed the "
+            f"{n_dev} available devices")
 
-    for w in workers:
-        if w > n_dev:
-            continue
+    for w in usable:
         img, orig_h = pad_rows(jnp.asarray(chw), w)
         run = make_runner(kernel, passes, w, orig_h=orig_h)
         x = jax.device_put(img)

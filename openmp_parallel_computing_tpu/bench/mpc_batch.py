@@ -17,39 +17,20 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def measure(batch: int, reps: int, frame, horizon: int = 20,
             edge_refresh: str = "admm") -> dict:
+    from openmp_parallel_computing_tpu.bench._chain import chain_throughput
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
     cfg = MPCConfig(horizon=horizon, num_features=8, scenarios=batch,
                     edge_refresh=edge_refresh)
     mpc = VisualServoMPC(cfg)
-    scen = mpc.random_scenarios(jax.random.PRNGKey(0), batch)
-    scen = jax.tree.map(jax.device_put, scen)
-
-    def step(s):
-        u0, sol = mpc.control_step(frame, s)
-        return u0, s._replace(us0=jnp.roll(sol.us, -1, axis=1))
-
-    u0, s = step(scen)
-    np.asarray(u0)                       # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        u0, s = step(s)
-    np.asarray(u0)                       # result-dependent fetch
-    wall = time.perf_counter() - t0
-    assert np.all(np.isfinite(np.asarray(u0)))
-    ms = wall / reps * 1e3
-    return {"batch": batch, "ms": round(ms, 2),
-            "solves_per_s": int(batch * reps / wall),
+    sps = chain_throughput(mpc, frame, batch, reps)[0]
+    return {"batch": batch, "ms": round(batch / sps * 1e3, 2),
+            "solves_per_s": int(sps),
             "methodology": "pipelined warm-start chain, full control path"}
 
 
@@ -65,10 +46,10 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu.bench._chain import (
+        load_headline_frame)
 
-    frame_hwc = imgio.load("/root/reference/images/test.jpg")
-    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    frame = load_headline_frame()
 
     rows = []
     for b in (int(x) for x in args.batches.split(",")):

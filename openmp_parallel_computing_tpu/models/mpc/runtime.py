@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openmp_parallel_computing_tpu.models.mpc.dynamics import CONTROL_DIM
 from openmp_parallel_computing_tpu.models.mpc.solver import (
     Scenario,
     VisualServoMPC,
@@ -42,7 +43,7 @@ class MPCRuntime:
         self.scen = Scenario(
             p0=jnp.asarray(p0), target=jnp.asarray(target),
             depth=jnp.asarray(depth),
-            us0=jnp.zeros((n, self.cfg.horizon, 6), jnp.float32))
+            us0=jnp.zeros((n, self.cfg.horizon, CONTROL_DIM), jnp.float32))
         self.frame_idx = 0
 
     def step(self, frame) -> jax.Array:

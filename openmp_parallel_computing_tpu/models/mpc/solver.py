@@ -83,6 +83,32 @@ def _from_split(a):
     return a.reshape(s[:-1] + (2, -1)).swapaxes(-1, -2).reshape(s)
 
 
+def _pick_candidates(J, cand, a_axis: int, n_batch_dims: int):
+    """Select the argmin-J line-search candidate per scenario, first-wins
+    on ties. J (A, *bshape); ``cand`` has the A axis at ``a_axis`` and the
+    ``n_batch_dims`` batch dims trailing.
+
+    Non-finite candidate costs are pushed to +inf so a NaN rollout can
+    never win — the alpha=0 (nominal) candidate is always finite and wins
+    instead, matching the fused/reference backends' strict J < j0 guard.
+    Masked ``where`` chain rather than a one-hot contraction:
+    ``sum(cand * onehot)`` computes 0.0 * NaN = NaN wherever a LOSING
+    candidate diverged, poisoning the finite winner (the same hazard the
+    multi-sweep kernel's select masks, sweep_pallas._select_winner)."""
+    J = jnp.where(jnp.isfinite(J), J, jnp.inf)
+    Jmin = jnp.min(J, axis=0)                       # (*bshape,)
+    cand = jnp.moveaxis(cand, a_axis, 0)
+    mshape = [1] * (cand.ndim - 1)
+    mshape[len(mshape) - n_batch_dims:] = J.shape[1:]
+    out = cand[0]
+    taken = J[0] == Jmin
+    for a in range(1, cand.shape[0]):
+        hit = (J[a] == Jmin) & ~taken
+        taken = taken | hit
+        out = jnp.where(hit.reshape(mshape), cand[a], out)
+    return out
+
+
 def _choose_pack(B: int) -> int:
     """Sublane factor (1 = lane-only) minimizing padded work / measured
     layout speed for a batch of B scenarios."""
@@ -433,21 +459,7 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
         return ps_c[:, 0]                           # (h+1, n, *bshape)
 
     def pick(J, cand, a_axis):
-        """Select the argmin-J candidate per scenario via one-hot
-        contraction. J (A, *bshape); cand has the A axis at ``a_axis`` and
-        the batch dims trailing. Non-finite candidate costs are pushed to
-        +inf so a NaN line-search rollout can never win the argmin — the
-        alpha=0 (nominal) candidate is always finite and wins instead,
-        matching the fused/reference backends' strict J < j0 guard."""
-        J = jnp.where(jnp.isfinite(J), J, jnp.inf)
-        onehot = (jax.lax.broadcasted_iota(
-            jnp.int32, J.shape, 0) == jnp.argmin(J, axis=0)[None]
-        ).astype(jnp.float32)                       # (A, *bshape)
-        nb = len(bshape)
-        shape = [1] * cand.ndim
-        shape[a_axis] = cand.shape[a_axis]
-        shape[-nb:] = J.shape[1:]
-        return jnp.sum(cand * onehot.reshape(shape), axis=a_axis)
+        return _pick_candidates(J, cand, a_axis, len(bshape))
 
     # One-launch unified sweep keeps the gains in VMEM scratch between the
     # backward and forward phases — use it whenever that scratch fits.
@@ -460,14 +472,20 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     # linearization (edge_refresh="admm") and VMEM for the nominal
     # trajectory + candidate controls on top of the gains.
     A = len(sp.ALPHAS)
+    # Per tile: VMEM-resident nominal (the output blocks, (h+1)n + h*c)
+    # plus the stored-candidate buffers pc/uc ((A-1)*h*(n+c)) on top of
+    # the gains scratch (matches _multi_sweep_kernel's scratch_shapes —
+    # keep in sync or the guard admits configs Mosaic cannot fit).
     multi_scratch = gains_scratch + ((h + 1) * n + h * cdim
-                                     + A * h * cdim + n) * tile * 4
+                                     + (A - 1) * h * (n + cdim)) * tile * 4
     use_multi = (cfg.edge_refresh in ("admm", "solve")
                  and multi_scratch < 10 * 1024 * 1024)
     # Whole-solve one-launch kernel: needs the per-solve edge linearization
     # (edge_refresh="solve") and VMEM for the ADMM z/y state on top of the
     # multi-sweep scratch.
-    full_scratch = multi_scratch + 2 * h * cdim * tile * 4
+    # Adds the ADMM z/y state and the feasible-rollout state; the nominal
+    # lives in scratch instead of resident output blocks (same size).
+    full_scratch = multi_scratch + (n + 2 * h * cdim) * tile * 4
     use_full = (_FULL_SOLVE and cfg.edge_refresh == "solve"
                 and full_scratch < 10 * 1024 * 1024)
 

@@ -621,6 +621,68 @@ def unified_sweep(p0, ps, us, z, y, g, target, inv_depth, *, m: int,
 # ---------------------------------------------------------------------------
 
 
+def _forward_cand_step(tau, K, kff, p_nom, u_nom, z_t, y_t, g_t, izd,
+                       target, p_scr, J_scr, pc_scr, uc_scr, *, m: int,
+                       q: float, r: float, rho: float, qe: float,
+                       dt: float):
+    """One forward step of the A-candidate line search (shared by the
+    multi-sweep and full-solve kernels): advance every candidate state,
+    accumulate its stage cost, and store the non-nominal candidates'
+    controls/states for the winner select."""
+    n = 2 * m
+    for a_idx, alpha in enumerate(ALPHAS):
+        p_a = p_scr[a_idx]
+        u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
+        J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
+                 + r * jnp.sum(u_a ** 2, axis=0)
+                 + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
+                 + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
+        J_scr[a_idx] = J_scr[a_idx] + J_add
+        p_next = _dyn_step(p_a, u_a, izd, dt, m)
+        p_scr[a_idx] = p_next
+        if a_idx:
+            uc_scr[a_idx - 1, pl.ds(tau, 1)] = u_a[None]
+            pc_scr[a_idx - 1, pl.ds(tau, 1)] = p_next[None]
+
+
+def _terminal_cost_accum(pterm, gterm, target, p_scr, J_scr, *, q: float,
+                         qe: float):
+    """Add the terminal tracking + linearized-edge cost of every candidate
+    into its running total (shared by the multi-sweep/full-solve kernels)."""
+    for a_idx in range(len(ALPHAS)):
+        p_h = p_scr[a_idx]
+        J_scr[a_idx] = (J_scr[a_idx]
+                        + q * jnp.sum((p_h - target) ** 2, axis=0)
+                        + qe * jnp.sum(gterm * (p_h - pterm), axis=0))
+
+
+def _select_winner(J, ps_nom_rows, us_nom, pc_scr, uc_scr):
+    """Whole-trajectory winner select, first-wins argmin over candidates.
+
+    Non-finite J is masked to +inf so a NaN-poisoned candidate can never
+    win (the alpha=0 nominal stays); the masked-``where`` chain (never a
+    one-hot contraction — 0*NaN from a LOSING candidate would poison the
+    winner) overwrites the nominal rows with the winner's stored
+    trajectory. Returns (ps rows 1..H, us). Shared by the multi-sweep and
+    full-solve kernels; ``solver.pick`` implements the same contract for
+    the per-sweep path."""
+    J = jnp.where(jnp.isfinite(J), J, jnp.inf)
+    Jmin = jnp.min(J, axis=0)
+    taken = jnp.zeros_like(Jmin, dtype=jnp.bool_)
+    masks = []
+    for a_idx in range(len(ALPHAS)):
+        hit = (J[a_idx] == Jmin) & ~taken
+        masks.append(hit)
+        taken = taken | hit
+    ps_w = ps_nom_rows
+    us_w = us_nom
+    for a_idx in range(1, len(ALPHAS)):
+        mk = masks[a_idx][None, None]
+        ps_w = jnp.where(mk, pc_scr[a_idx - 1], ps_w)
+        us_w = jnp.where(mk, uc_scr[a_idx - 1], us_w)
+    return ps_w, us_w
+
+
 def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
                         pterm_ref, gterm_ref, target_ref, izd_ref,
                         psout_ref, usout_ref,
@@ -685,52 +747,20 @@ def _multi_sweep_kernel(p0_ref, ps_ref, us_ref, z_ref, y_ref, g_ref,
     @pl.when((local >= H) & (local < 2 * H))
     def _forward():
         tau = local - H
-        K = K_scr[tau]
-        kff = k_scr[tau]
-        p_nom = psout_ref[tau]
-        u_nom = usout_ref[tau]
-        z_t, y_t, g_t = z_ref[0], y_ref[0], g_ref[0]
-        for a_idx, alpha in enumerate(ALPHAS):
-            p_a = p_scr[a_idx]
-            u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
-            J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
-                     + r * jnp.sum(u_a ** 2, axis=0)
-                     + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
-                     + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
-            J_scr[a_idx] = J_scr[a_idx] + J_add
-            p_next = _dyn_step(p_a, u_a, izd, dt, m)
-            p_scr[a_idx] = p_next
-            if a_idx:
-                uc_scr[a_idx - 1, pl.ds(tau, 1)] = u_a[None]
-                pc_scr[a_idx - 1, pl.ds(tau, 1)] = p_next[None]
+        _forward_cand_step(tau, K_scr[tau], k_scr[tau], psout_ref[tau],
+                           usout_ref[tau], z_ref[0], y_ref[0], g_ref[0],
+                           izd, target, p_scr, J_scr, pc_scr, uc_scr,
+                           m=m, q=q, r=r, rho=rho, qe=qe, dt=dt)
 
         @pl.when(local == 2 * H - 1)
         def _():  # terminal cost into the running totals
-            pterm = psout_ref[H]
-            for a_idx in range(A):
-                p_h = p_scr[a_idx]
-                J_scr[a_idx] = (J_scr[a_idx]
-                                + q * jnp.sum((p_h - target) ** 2, axis=0)
-                                + qe * jnp.sum(gterm_ref[0] * (p_h - pterm),
-                                               axis=0))
+            _terminal_cost_accum(psout_ref[H], gterm_ref[0], target,
+                                 p_scr, J_scr, q=q, qe=qe)
 
     @pl.when(local == 2 * H)
     def _select():  # pick + whole-trajectory winner selection, one step
-        J = J_scr[...]
-        J = jnp.where(jnp.isfinite(J), J, jnp.inf)
-        Jmin = jnp.min(J, axis=0)
-        taken = jnp.zeros_like(Jmin, dtype=jnp.bool_)
-        masks = []
-        for a_idx in range(A):
-            hit = (J[a_idx] == Jmin) & ~taken
-            masks.append(hit)
-            taken = taken | hit
-        ps_w = psout_ref[pl.ds(1, H)]               # nominal rows 1..H
-        us_w = usout_ref[...]
-        for a_idx in range(1, A):
-            mk = masks[a_idx][None, None]
-            ps_w = jnp.where(mk, pc_scr[a_idx - 1], ps_w)
-            us_w = jnp.where(mk, uc_scr[a_idx - 1], us_w)
+        ps_w, us_w = _select_winner(J_scr[...], psout_ref[pl.ds(1, H)],
+                                    usout_ref[...], pc_scr, uc_scr)
         psout_ref[pl.ds(1, H)] = ps_w
         usout_ref[...] = us_w
         psout_ref[pl.ds(0, 1)] = p0_ref[...][None]
@@ -835,52 +865,22 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
     @pl.when(in_solve & (local >= H) & (local < 2 * H))
     def _forward():
         tau = local - H
-        K = K_scr[tau]
-        kff = k_scr[tau]
         p_nom = jnp.where(first, ps_ref[0], ps_scr[tau])
         u_nom = jnp.where(first, us_ref[0], us_scr[tau])
-        z_t, y_t, g_t = z_scr[tau], y_scr[tau], g_ref[0]
-        for a_idx, alpha in enumerate(ALPHAS):
-            p_a = p_scr[a_idx]
-            u_a = u_nom + alpha * kff + _mv(K, p_a - p_nom, n)
-            J_add = (q * jnp.sum((p_a - target) ** 2, axis=0)
-                     + r * jnp.sum(u_a ** 2, axis=0)
-                     + 0.5 * rho * jnp.sum((u_a - z_t + y_t) ** 2, axis=0)
-                     + qe * jnp.sum(g_t * (p_a - p_nom), axis=0))
-            J_scr[a_idx] = J_scr[a_idx] + J_add
-            p_next = _dyn_step(p_a, u_a, izd, dt, m)
-            p_scr[a_idx] = p_next
-            if a_idx:
-                uc_scr[a_idx - 1, pl.ds(tau, 1)] = u_a[None]
-                pc_scr[a_idx - 1, pl.ds(tau, 1)] = p_next[None]
+        _forward_cand_step(tau, K_scr[tau], k_scr[tau], p_nom, u_nom,
+                           z_scr[tau], y_scr[tau], g_ref[0],
+                           izd, target, p_scr, J_scr, pc_scr, uc_scr,
+                           m=m, q=q, r=r, rho=rho, qe=qe, dt=dt)
 
         @pl.when(local == 2 * H - 1)
         def _():  # terminal cost into the running totals
-            pterm = ps_scr[H]
-            for a_idx in range(A):
-                p_h = p_scr[a_idx]
-                J_scr[a_idx] = (J_scr[a_idx]
-                                + q * jnp.sum((p_h - target) ** 2, axis=0)
-                                + qe * jnp.sum(gterm_ref[0] * (p_h - pterm),
-                                               axis=0))
+            _terminal_cost_accum(ps_scr[H], gterm_ref[0], target,
+                                 p_scr, J_scr, q=q, qe=qe)
 
     @pl.when(in_solve & (local == 2 * H))
     def _select():  # pick + whole-trajectory winner selection, one step
-        J = J_scr[...]
-        J = jnp.where(jnp.isfinite(J), J, jnp.inf)
-        Jmin = jnp.min(J, axis=0)
-        taken = jnp.zeros_like(Jmin, dtype=jnp.bool_)
-        masks = []
-        for a_idx in range(A):
-            hit = (J[a_idx] == Jmin) & ~taken
-            masks.append(hit)
-            taken = taken | hit
-        ps_w = ps_scr[pl.ds(1, H)]                  # nominal rows 1..H
-        us_w = us_scr[...]
-        for a_idx in range(1, A):
-            mk = masks[a_idx][None, None]
-            ps_w = jnp.where(mk, pc_scr[a_idx - 1], ps_w)
-            us_w = jnp.where(mk, uc_scr[a_idx - 1], us_w)
+        ps_w, us_w = _select_winner(J_scr[...], ps_scr[pl.ds(1, H)],
+                                    us_scr[...], pc_scr, uc_scr)
         ps_scr[pl.ds(1, H)] = ps_w
         us_scr[...] = us_w
         ps_scr[pl.ds(0, 1)] = p0_ref[...][None]

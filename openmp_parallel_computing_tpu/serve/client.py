@@ -17,13 +17,16 @@ import requests
 
 def run_request(url: str, image: str | Path, out: str | Path,
                 kernel: str = "grayscale", threads: int = 1,
-                passes: int = 1) -> dict:
+                passes: int = 1, timeout_s: float = 900.0) -> dict:
+    # timeout bounds a wedged server (first TPU compiles run minutes, so
+    # the default is generous — but never infinite: a requests.post with
+    # no timeout hangs the whole bench sweep if the service stalls).
     with open(image, "rb") as f:
         files = {"image": (Path(image).name, f)}
         data = {"threads": str(threads), "passes": str(passes)}
         t0 = time.perf_counter()
         resp = requests.post(f"{url.rstrip('/')}/{kernel}", files=files,
-                             data=data)
+                             data=data, timeout=timeout_s)
         request_s = time.perf_counter() - t0
     resp.raise_for_status()
     Path(out).write_bytes(resp.content)

@@ -162,13 +162,9 @@ class TestMultiSweep:
 
     @staticmethod
     def _pick(J, cand, a_axis):
-        J = jnp.where(jnp.isfinite(J), J, jnp.inf)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, J.shape, 0)
-                  == jnp.argmin(J, axis=0)[None]).astype(jnp.float32)
-        shape = [1] * cand.ndim
-        shape[a_axis] = cand.shape[a_axis]
-        shape[-1] = J.shape[1]
-        return jnp.sum(cand * onehot.reshape(shape), axis=a_axis)
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+        return S._pick_candidates(J, cand, a_axis, 1)
 
     def test_single_sweep_matches_unified_plus_pick(self):
         p0, ps, us, z, y, g, tg, izd, kw = self._inputs()
@@ -304,3 +300,47 @@ class TestFullSolve:
             results[flag] = jax.tree.map(np.asarray, sol)
         for a, b in zip(results[False], results[True]):
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+class TestPickCandidates:
+    """solver._pick_candidates: the XLA-side twin of the kernels'
+    first-wins winner select (sweep_pallas._select_winner)."""
+
+    def test_losing_nan_candidate_cannot_poison_winner(self):
+        """A NaN in a LOSING candidate must not leak into the finite
+        winner (regression: the one-hot contraction computed 0.0 * NaN =
+        NaN in the winner's lane; the fused/reference backends were
+        immune, breaking backend equivalence on diverging line searches)."""
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+        # 3 candidates x 4 scenarios; candidate 2 diverged (NaN) in
+        # scenarios 1 and 3 but only WINS (finite J) nowhere.
+        J = jnp.asarray([[1.0, 2.0, 3.0, 4.0],
+                         [0.5, 9.0, 1.0, 9.0],
+                         [9.0, jnp.nan, 9.0, jnp.nan]])
+        cand = jnp.asarray(np.stack([
+            np.full((2, 4), 10.0, np.float32),
+            np.full((2, 4), 20.0, np.float32),
+            np.full((2, 4), np.nan, np.float32)]))   # (A, c, B)
+        out = np.asarray(S._pick_candidates(J, cand, 0, 1))
+        assert np.isfinite(out).all()
+        np.testing.assert_array_equal(out[0], [20.0, 10.0, 20.0, 10.0])
+
+    def test_all_nonfinite_falls_back_to_first(self):
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+        J = jnp.asarray([[jnp.nan], [jnp.inf]])
+        cand = jnp.asarray([[[7.0]], [[np.nan]]])
+        out = np.asarray(S._pick_candidates(J, cand, 0, 1))
+        np.testing.assert_array_equal(out, [[7.0]])
+
+    def test_matches_take_along_axis_on_finite_costs(self):
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+        rng = np.random.default_rng(0)
+        J = jnp.asarray(rng.uniform(0, 1, (4, 16)).astype(np.float32))
+        cand = jnp.asarray(rng.normal(size=(4, 3, 16)).astype(np.float32))
+        want = np.take_along_axis(
+            np.asarray(cand), np.argmin(np.asarray(J), 0)[None, None], 0)[0]
+        np.testing.assert_array_equal(
+            np.asarray(S._pick_candidates(J, cand, 0, 1)), want)
