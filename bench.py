@@ -44,8 +44,12 @@ def main() -> None:
     # final-cost parity measured in results/tpu_v5e/edge_refresh_study.json).
     # The MPCConfig default stays "admm" because cold-start solves have no
     # staleness bound (docs/DESIGN.md §2d).
+    # Iteration budget + over-relaxation: the MPCConfig defaults (1 iLQR
+    # sweep x 5 ADMM iterations at admm_relax=1.3) — quality-equivalent to
+    # the plain-ADMM 3x5 budget at a third of the sweeps
+    # (results/cpu/relax_study_*.json, docs/DESIGN.md §2f).
     cfg = MPCConfig(horizon=20, num_features=8, scenarios=SCENARIOS,
-                    ilqr_iters=3, admm_iters=5, edge_refresh="solve")
+                    edge_refresh="solve")
     mpc = VisualServoMPC(cfg)
 
     frame_hwc = imgio.load("/root/reference/images/test.jpg")

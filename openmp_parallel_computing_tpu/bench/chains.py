@@ -22,7 +22,8 @@ import json
 
 
 def run(scenarios: int = 256, reps: int = 40, trials: int = 6,
-        edge_refresh: str = "solve") -> dict:
+        edge_refresh: str = "solve", ilqr: int | None = None,
+        admm: int | None = None, relax: float | None = None) -> dict:
     import statistics
 
     from openmp_parallel_computing_tpu.bench._chain import (
@@ -32,8 +33,14 @@ def run(scenarios: int = 256, reps: int = 40, trials: int = 6,
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
+    # Iteration budget defaults to the MPCConfig defaults (the headline
+    # configuration); the flags pin another arm for budget A/Bs (e.g. the
+    # pre-relaxation 3x5 plain-ADMM budget: --ilqr 3 --admm 5 --relax 1.0).
+    over = {k: v for k, v in
+            (("ilqr_iters", ilqr), ("admm_iters", admm),
+             ("admm_relax", relax)) if v is not None}
     cfg = MPCConfig(horizon=20, num_features=8, scenarios=scenarios,
-                    ilqr_iters=3, admm_iters=5, edge_refresh=edge_refresh)
+                    edge_refresh=edge_refresh, **over)
     mpc = VisualServoMPC(cfg)
     vals = chain_throughput(mpc, load_headline_frame(), scenarios, reps,
                             trials=trials)
@@ -52,9 +59,13 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=6)
     ap.add_argument("--edge-refresh", default="solve",
                     choices=("ilqr", "admm", "solve"))
+    ap.add_argument("--ilqr", type=int, default=None)
+    ap.add_argument("--admm", type=int, default=None)
+    ap.add_argument("--relax", type=float, default=None)
     args = ap.parse_args()
     print(json.dumps(run(args.scenarios, args.reps, args.trials,
-                         args.edge_refresh)))
+                         args.edge_refresh, ilqr=args.ilqr, admm=args.admm,
+                         relax=args.relax)))
 
 
 if __name__ == "__main__":

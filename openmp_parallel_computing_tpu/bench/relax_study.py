@@ -1,0 +1,178 @@
+"""ADMM over-relaxation quality study: final cost vs iteration budget.
+
+Measures whether over-relaxation (``MPCConfig.admm_relax``, Boyd et al.,
+*Distributed Optimization* §3.4.3) reaches the plain-ADMM quality plateau
+with a smaller iteration budget. Throughput scales ~linearly with
+``admm_iters x ilqr_iters`` (the sweep count — docs/DESIGN.md §2b), so a
+budget cut at equal final cost converts directly into solves/s.
+
+This is a QUALITY study, not a throughput bench: the solve is identical
+math on every backend/hardware (equivalence-tested), so it runs fine on
+CPU with the "reference" backend — pass ``--cpu`` on a TPU-attached box.
+Quality metric: mean true final cost (tracking + control + edge, evaluated
+on the feasible projected controls) against a converged baseline
+(``--baseline-iters`` ADMM x iLQR, plain ADMM), plus the primal residual.
+
+Usage::
+
+    python -m openmp_parallel_computing_tpu.bench.relax_study --cpu \
+        [--scenarios 64] [--edge-refresh solve] [--out results/cpu/...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def run(scenarios: int, edge_refresh: str, relaxes, budgets,
+        baseline_iters=(8, 30), seed: int = 0) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+    from openmp_parallel_computing_tpu.ops import xla_ref
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    # Real 1080p Sobel features (XLA twin of the Pallas pipeline —
+    # bit-equivalent, tests/test_golden_parity.py) so the edge cost term
+    # sees the production texture statistics.
+    frame_hwc = imgio.load("/root/reference/images/test.jpg")
+    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    edge_map = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
+
+    def solve(ilqr, admm, relax):
+        cfg = MPCConfig(ilqr_iters=ilqr, admm_iters=admm, admm_relax=relax,
+                        backend="reference", edge_refresh=edge_refresh)
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(seed), scenarios)
+        sol = mpc.solve_batch(edge_map, scen)
+        return (float(jnp.mean(sol.cost)),
+                float(jnp.mean(sol.primal_residual)),
+                float(jnp.max(sol.primal_residual)))
+
+    base_ilqr, base_admm = baseline_iters
+    base_cost, _, _ = solve(base_ilqr, base_admm, 1.0)
+
+    rows = []
+    for ilqr, admm in budgets:
+        for relax in relaxes:
+            cost, res_mean, res_max = solve(ilqr, admm, relax)
+            rows.append({
+                "ilqr": ilqr, "admm": admm, "sweeps": ilqr * admm,
+                "relax": relax, "mean_cost": round(cost, 4),
+                "cost_gap_vs_converged_pct": round(
+                    100.0 * (cost - base_cost) / abs(base_cost), 3),
+                "mean_primal_residual": round(res_mean, 4),
+                "max_primal_residual": round(res_max, 4),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+    return {
+        "methodology": (
+            "mean true final cost (feasible controls) on real 1080p Sobel "
+            "features, reference backend, cold-start random scenarios; "
+            f"converged baseline = plain ADMM {base_ilqr}x{base_admm}"),
+        "edge_refresh": edge_refresh,
+        "scenarios": scenarios,
+        "baseline_mean_cost": round(base_cost, 4),
+        "rows": rows,
+    }
+
+
+def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
+             seed: int = 0) -> dict:
+    """Closed-loop receding-horizon quality: run ``frames`` warm-started
+    solves (shift-by-one, the MPCRuntime pattern) per config and report the
+    tracking-error trajectory — the regime the headline bench models, where
+    a smaller relaxed iteration budget must not destabilize the loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
+    from openmp_parallel_computing_tpu.ops import xla_ref
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    frame_hwc = imgio.load("/root/reference/images/test.jpg")
+    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    edge_map = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
+
+    rows = []
+    for ilqr, admm, relax in configs:
+        cfg = MPCConfig(ilqr_iters=ilqr, admm_iters=admm, admm_relax=relax,
+                        backend="reference", edge_refresh=edge_refresh)
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(seed), scenarios)
+        err0 = float(jnp.mean(jnp.abs(scen.p0 - scen.target)))
+        errs, costs = [], []
+        for _ in range(frames):
+            sol = mpc.solve_batch(edge_map, scen)
+            # MPCRuntime.step: advance to the predicted next state, shift
+            # the optimized controls one step.
+            shifted = jnp.concatenate(
+                [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
+            scen = scen._replace(p0=sol.ps[:, 1], us0=shifted)
+            errs.append(float(jnp.mean(jnp.abs(scen.p0 - scen.target))))
+            costs.append(float(jnp.mean(sol.cost)))
+        rows.append({
+            "ilqr": ilqr, "admm": admm, "relax": relax,
+            "sweeps": ilqr * admm, "err0": round(err0, 4),
+            "mean_abs_err_by_frame": [round(e, 4) for e in errs],
+            "final_err": round(errs[-1], 4),
+            "final_mean_cost": round(costs[-1], 4),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return {"methodology": (
+        "closed receding-horizon loop (shift-by-one warm start, static "
+        "scene) on real 1080p Sobel features, reference backend; "
+        "mean |p - target| per frame"),
+        "edge_refresh": edge_refresh, "scenarios": scenarios,
+        "frames": frames, "rows": rows}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (quality is hardware-"
+                         "independent; use when the TPU is busy/offline)")
+    ap.add_argument("--scenarios", type=int, default=64)
+    ap.add_argument("--edge-refresh", default="solve",
+                    choices=("ilqr", "admm", "solve"))
+    ap.add_argument("--relaxes", default="1.0,1.3,1.5,1.6,1.8")
+    ap.add_argument("--budgets", default="3x5,3x4,3x3,2x5,2x4,2x3")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--loop", type=int, default=0, metavar="FRAMES",
+                    help="closed-loop mode: run FRAMES warm-started solves "
+                         "per config (configs = the budgets grid x relaxes)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    relaxes = [float(x) for x in args.relaxes.split(",")]
+    budgets = [tuple(int(v) for v in b.split("x"))
+               for b in args.budgets.split(",")]
+    if args.loop:
+        configs = [(i, a, rx) for (i, a) in budgets for rx in relaxes]
+        out = run_loop(args.scenarios, args.loop, args.edge_refresh,
+                       configs, seed=args.seed)
+    else:
+        out = run(args.scenarios, args.edge_refresh, relaxes, budgets,
+                  seed=args.seed)
+    if args.out:
+        import os
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    else:
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,8 +14,10 @@ Solve structure (all fixed-iteration, jit-compilable, static shapes):
             rollout -> closed-form linearization -> analytic cost
             expansion (+ ADMM augmentation, Gauss-Newton edge term)
             -> Riccati backward -> line-searched gain forward
-        z = clip(us + y)   # projection onto the control box
-        y = y + us - z     # dual ascent
+        z = clip(u^ + y)   # projection onto the control box
+        y = y + u^ - z     # dual ascent
+        # u^ = us, or relax*us + (1-relax)*z_prev under over-relaxation
+        # (cfg.admm_relax, Boyd §3.4.3 — same semantics in every backend)
 
 Four numerically equivalent backends (docs/DESIGN.md):
   "sweep" (default)  whole-sweep fused Pallas kernels, batch-in-lanes
@@ -263,8 +265,13 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
               else eg_solve)
         us = jax.lax.fori_loop(
             0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y, eg), us)
-        z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
-        y = y + us - z
+        # Over-relaxation (off at 1.0 — Python branch keeps the default
+        # graph bit-identical): the projection/dual steps see
+        # u_hat = relax*us + (1-relax)*z_prev.
+        uh = (us if cfg.admm_relax == 1.0
+              else cfg.admm_relax * us + (1.0 - cfg.admm_relax) * z)
+        z = jnp.clip(uh + y, -cfg.u_limit, cfg.u_limit)
+        y = y + uh - z
         return (us, z, y), None
 
     z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
@@ -364,8 +371,11 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
               else eg_solve)
         us = jax.lax.fori_loop(
             0, cfg.ilqr_iters, lambda _, u: ilqr_once(u, z, y, eg), us)
-        z = jnp.clip(us + y, -cfg.u_limit, cfg.u_limit)
-        y = y + us - z
+        # Over-relaxation (off at 1.0; see _solve_single.admm_body).
+        uh = (us if cfg.admm_relax == 1.0
+              else cfg.admm_relax * us + (1.0 - cfg.admm_relax) * z)
+        z = jnp.clip(uh + y, -cfg.u_limit, cfg.u_limit)
+        y = y + uh - z
         return (us, z, y), None
 
     z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
@@ -527,8 +537,12 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
 
             us_l, ps_l = jax.lax.fori_loop(0, cfg.ilqr_iters, inner,
                                            (us_l, ps_l))
-        z_l = jnp.clip(us_l + y_l, -cfg.u_limit, cfg.u_limit)
-        y_l = y_l + us_l - z_l
+        # Over-relaxation (off at 1.0; see _solve_single.admm_body).
+        uh_l = (us_l if cfg.admm_relax == 1.0
+                else cfg.admm_relax * us_l
+                + (1.0 - cfg.admm_relax) * z_l)
+        z_l = jnp.clip(uh_l + y_l, -cfg.u_limit, cfg.u_limit)
+        y_l = y_l + uh_l - z_l
         return (us_l, ps_l, z_l, y_l, g_solve), None
 
     z0 = jnp.clip(us_l, -cfg.u_limit, cfg.u_limit)
@@ -542,7 +556,7 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
         ps_final_l, z_l, us_l = sp.full_solve(
             p0_l, ps_l, us_l, g_solve0, target_l, izd_l,
             sweeps=cfg.ilqr_iters, admm_iters=cfg.admm_iters,
-            u_limit=cfg.u_limit, **kw)
+            u_limit=cfg.u_limit, relax=cfg.admm_relax, **kw)
     else:
         (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
             admm_body, (us_l, ps_l, z0, y0, g_solve0), None,

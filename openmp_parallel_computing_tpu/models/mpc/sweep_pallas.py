@@ -801,7 +801,7 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
                        pc_scr, uc_scr, p_scr, J_scr, pcur_scr, z_scr, y_scr,
                        *, m: int, q: float, r: float, rho: float, qe: float,
                        dt: float, reg: float, horizon: int, sweeps: int,
-                       admm_iters: int, u_limit: float):
+                       admm_iters: int, u_limit: float, relax: float):
     n = 2 * m
     A = len(ALPHAS)
     H = horizon
@@ -888,9 +888,14 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
     @pl.when(in_solve & (local == P - 1) & last_of_admm)
     def _admm_update():  # projection + dual ascent on the whole horizon
         # (fires at the select step, textually AFTER it so the selected
-        # us_scr is the one projected)
-        z_new = jnp.clip(us_scr[...] + y_scr[...], -u_limit, u_limit)
-        y_scr[...] = y_scr[...] + us_scr[...] - z_new
+        # us_scr is the one projected). Over-relaxation (relax is a static
+        # Python float; 1.0 keeps the plain-ADMM graph bit-identical):
+        # u_hat = relax*us + (1-relax)*z_prev, matching the XLA-side
+        # admm_body in every solver backend.
+        uh = (us_scr[...] if relax == 1.0
+              else relax * us_scr[...] + (1.0 - relax) * z_scr[...])
+        z_new = jnp.clip(uh + y_scr[...], -u_limit, u_limit)
+        y_scr[...] = y_scr[...] + uh - z_new
         z_scr[...] = z_new
 
     @pl.when(t == MSP)
@@ -910,11 +915,11 @@ def _full_solve_kernel(p0_ref, ps_ref, us_ref, g_ref, pterm_ref, gterm_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "m", "q", "r", "rho", "qe", "dt", "reg", "sweeps", "admm_iters",
-    "u_limit", "pack"))
+    "u_limit", "relax", "pack"))
 def full_solve(p0, ps, us, g, target, inv_depth, *, m: int, q: float,
                r: float, rho: float, qe: float, dt: float, sweeps: int,
                admm_iters: int, u_limit: float, reg: float = 1e-6,
-               pack: bool = False):
+               relax: float = 1.0, pack: bool = False):
     """The whole ADMM solve in ONE launch (fixed edge linearization ``g``,
     i.e. config edge_refresh="solve"). Same math as ``admm_iters`` rounds of
     ``multi_sweep`` + z/y projection/dual updates, then the feasible
@@ -961,7 +966,8 @@ def full_solve(p0, ps, us, g, target, inv_depth, *, m: int, q: float,
     ps_out, z_out, ul_out = pl.pallas_call(
         functools.partial(_full_solve_kernel, m=m, q=q, r=r, rho=rho,
                           qe=qe, dt=dt, reg=reg, horizon=H, sweeps=sweeps,
-                          admm_iters=admm_iters, u_limit=u_limit),
+                          admm_iters=admm_iters, u_limit=u_limit,
+                          relax=relax),
         grid=(nb, MSP + H),
         in_specs=[
             spc(n),                  # p0

@@ -32,11 +32,14 @@ class MPCConfig:
     horizon: int = 20                 # H
     num_features: int = 8             # tracked image-plane feature points
     scenarios: int = 256              # rollout batch per solve
-    # Iteration budget: 3x5 is the measured quality plateau (the budget
-    # study in docs/DESIGN.md — more sweeps change the solution < solver
-    # tolerance). The headline bench (bench.py) runs exactly these
-    # defaults so the published number is the shipped configuration.
-    ilqr_iters: int = 3               # outer linearize/solve sweeps
+    # Iteration budget: 1x5 with admm_relax=1.3 (below) matches or beats
+    # the plain-ADMM 3x5 plateau on every quality metric — mean final cost
+    # vs a converged baseline, primal residual, and closed-loop tracking —
+    # at a third of the sweeps (results/cpu/relax_study_*.json,
+    # relax_loop*.json; docs/DESIGN.md §2f). The headline bench (bench.py)
+    # runs exactly these defaults so the published number is the shipped
+    # configuration.
+    ilqr_iters: int = 1               # linearize/solve sweeps per ADMM iter
     admm_iters: int = 5               # constraint-projection iterations
     dt: float = 1.0 / 30.0
     u_limit: float = 1.0              # control box |u| <= u_limit
@@ -71,6 +74,17 @@ class MPCConfig:
     # convergence; the returned controls are feasible by projection
     # regardless of rho.
     rho: float = 0.1
+    # ADMM over-relaxation factor (Boyd et al., Distributed Optimization
+    # §3.4.3): the z/dual updates see u_hat = relax*us + (1-relax)*z_prev.
+    # 1.0 = off (plain ADMM, bit-identical to the pre-knob solver);
+    # 1.5-1.8 is the classical range for convex splittings, but this ADMM
+    # is inexact and nonconvex: >= 1.5 measured unstable on an adversarial
+    # edge-dominated instance (q_track=0, 50x edge weight — DESIGN.md
+    # §2f), while 1.3 improves BOTH the production operating point (the
+    # 1x5 budget above beats the plain 15-sweep plateau,
+    # results/cpu/relax_study_*.json) and that adversarial instance.
+    # Same semantics in every backend (equivalence-tested at relax != 1).
+    admm_relax: float = 1.3
 
 
 @dataclasses.dataclass

@@ -340,3 +340,51 @@ class TestEdgeRefresh:
         assert np.isfinite(c_admm).all()
         rel = (c_admm.mean() - c_ilqr.mean()) / abs(c_ilqr.mean())
         assert rel < 0.01, f"stale-grad quality loss {rel:.4%}"
+
+
+class TestAdmmRelax:
+    """Over-relaxed ADMM (cfg.admm_relax, Boyd §3.4.3) must keep every
+    backend numerically equivalent and the solution feasible; relax=1.0 is
+    the plain solver (Python branch — same graph, covered by every other
+    test in this file)."""
+
+    def _solve(self, backend, edge, scen, cfg, relax):
+        import dataclasses
+        mpc = VisualServoMPC(dataclasses.replace(
+            cfg, backend=backend, q_edge=0.1, admm_relax=relax))
+        return mpc.solve_batch(edge, scen)
+
+    @pytest.mark.parametrize("backend", ["sweep", "fused"])
+    def test_backends_agree_when_relaxed(self, small_cfg, backend):
+        rng = np.random.default_rng(41)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(19), 5)
+        sb = self._solve(backend, edge, scen, small_cfg, 1.6)
+        sr = self._solve("reference", edge, scen, small_cfg, 1.6)
+        np.testing.assert_allclose(np.asarray(sb.us), np.asarray(sr.us),
+                                   rtol=2e-2, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(sb.cost), np.asarray(sr.cost),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_relaxed_solution_feasible_and_finite(self, small_cfg):
+        rng = np.random.default_rng(43)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(21), 8)
+        sol = self._solve("sweep", edge, scen, small_cfg, 1.8)
+        us = np.asarray(sol.us)
+        assert np.isfinite(us).all()
+        assert np.abs(us).max() <= small_cfg.u_limit + 1e-6
+        assert np.isfinite(np.asarray(sol.cost)).all()
+
+    def test_relax_changes_the_iterates(self, small_cfg):
+        """Sanity: the knob is actually wired through (relax=1.6 must not
+        reproduce the plain-ADMM controls bit-for-bit)."""
+        rng = np.random.default_rng(47)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        mpc = VisualServoMPC(small_cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(23), 4)
+        s1 = self._solve("reference", edge, scen, small_cfg, 1.0)
+        s2 = self._solve("reference", edge, scen, small_cfg, 1.6)
+        assert np.abs(np.asarray(s1.us) - np.asarray(s2.us)).max() > 0

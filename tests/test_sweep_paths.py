@@ -278,10 +278,12 @@ class TestFullSolve:
         np.testing.assert_array_equal(np.asarray(us_f), np.asarray(us_a))
         np.testing.assert_array_equal(np.asarray(ps_f), np.asarray(ps_ref))
 
-    def test_solver_full_path_matches_scan_path(self, monkeypatch):
+    @pytest.mark.parametrize("relax", [1.0, 1.6])
+    def test_solver_full_path_matches_scan_path(self, monkeypatch, relax):
         """Solver-level: the one-launch whole-solve path produces the same
-        Solution as the scan-of-multi-sweep path under
-        edge_refresh="solve"."""
+        Solution as the scan-of-multi-sweep path under edge_refresh="solve"
+        — including the in-kernel over-relaxed ADMM update
+        (cfg.admm_relax != 1)."""
         import dataclasses
 
         from openmp_parallel_computing_tpu.models.mpc import solver as S
@@ -289,7 +291,8 @@ class TestFullSolve:
         rng = np.random.default_rng(13)
         edge = jnp.asarray(rng.uniform(0, 255, (32, 128)), jnp.float32)
         cfg = MPCConfig(horizon=4, num_features=2, ilqr_iters=2,
-                        admm_iters=2, edge_refresh="solve")
+                        admm_iters=2, edge_refresh="solve",
+                        admm_relax=relax)
         mpc = VisualServoMPC(cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(17), 128)
         results = {}
