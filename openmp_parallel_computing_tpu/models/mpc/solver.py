@@ -52,15 +52,19 @@ _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
 # Measured per-scenario speed of the sublane-packed (8, 128) tile layout
 # relative to lane-only. History: +20-33% on the pre-structural kernels
 # (results/tpu_v5e/pack_study.json); the structural split-layout rewrite
-# (docs/DESIGN.md §2c) made lane-only nearly as fast — its wide (m, B)
-# FMAs already fill sublanes — so the re-measured ratio is ~1.02
-# (pack_study_r2c.json). Packed still wins at exact tile multiples (zero
-# extra padding), which is where the peak throughput is measured.
+# (docs/DESIGN.md §2c) made lane-only FASTER — its wide (m, B) FMAs
+# already fill sublanes, and packing only adds relayout traffic. The
+# honest post-fix A/B (the r2c study re-timed one executable through the
+# jit cache; the table is now part of the jit static key) measured
+# packed:lane-only = 0.99/0.99/0.94 at 1024/4096/8192 exact tile
+# multiples (pack_study_r2h.json), so the chooser now takes lane-only at
+# every batch (lane padding never exceeds packed padding). Packed stays
+# as an equivalence-tested layout behind this table.
 # Partial factors (2/4) were tried and measured SLOWER than lane-only at
 # 256 scenarios (6.43 vs 4.30 ms) — sub-8 blocks still occupy full (8,128)
 # register tiles, and Mosaic only lowers them at all when the batch is a
 # single packed tile — so the choice is binary.
-PACK_SPEED = {1: 1.0, 8: 1.02}
+PACK_SPEED = {1: 1.0, 8: 0.97}
 
 # Whole-solve one-launch kernel (sweep backend, edge_refresh="solve").
 # Measured on-chip perf-NEUTRAL vs the scan of multi_sweep launches
@@ -677,6 +681,43 @@ class VisualServoMPC:
         pyramid = costs.build_cost_pyramid_from_frame(frame)
         sol = self._solve_pyramid(pyramid, frame.shape[1:], scen)
         return sol.us[:, 0], sol
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def receding_horizon(self, frame: jax.Array, scen: Scenario,
+                         n_frames: int):
+        """Device-resident closed receding-horizon loop: ``n_frames``
+        control steps in ONE dispatch (``lax.scan`` over full solves).
+
+        Each step solves the batch from the previous step's shifted plan
+        (warm start), applies the first control to the TRUE feature
+        dynamics (``dynamics.step``, depth held constant — the same model
+        the solver plans with), and carries the evolved state into the
+        next solve. The camera frame is fixed for the window, so the
+        perception front-end and cost pyramid run once and stay
+        device-resident — the idiomatic TPU shape for offline policy
+        evaluation, solver tuning sweeps, and throughput benchmarking,
+        where a host-dispatched per-step loop would pay a host round-trip
+        per frame for no new information.
+
+        Returns ``(u0s (n_frames, B, c), costs (n_frames, B), scen')``
+        with ``scen'`` positioned to continue the loop (e.g. on the next
+        camera frame via ``control_step``).
+        """
+        pyramid = costs.build_cost_pyramid_from_frame(frame)
+        shape = frame.shape[1:]
+        dt = self.cfg.dt
+
+        def body(s, _):
+            sol = self._solve_pyramid(pyramid, shape, s)
+            u0 = sol.us[:, 0]
+            p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
+                s.p0, u0, s.depth)
+            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
+            return s, (u0, sol.cost)
+
+        scen_out, (u0s, cost_seq) = jax.lax.scan(
+            body, scen, None, length=n_frames)
+        return u0s, cost_seq, scen_out
 
     # jit static self: the key must cover everything the traced program
     # depends on — the config AND the module-level PACK_SPEED table, whose

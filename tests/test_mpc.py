@@ -302,6 +302,53 @@ class TestSolver:
                                       np.asarray(sol_ref.us[:, 0]))
 
 
+class TestRecedingHorizon:
+    def test_scan_matches_host_loop(self, small_cfg, rng):
+        """The device-resident lax.scan loop (one dispatch) is numerically
+        identical to a host loop of control_step + manual dynamics step +
+        warm-start shift — the scan only removes host round-trips."""
+        from openmp_parallel_computing_tpu.models.mpc import dynamics
+
+        mpc = VisualServoMPC(small_cfg)
+        frame = rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8)
+        frame = jnp.asarray(frame)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(11), 3)
+
+        n = 4
+        u0s, costs_seq, scen_out = mpc.receding_horizon(frame, scen, n)
+        assert u0s.shape == (n, 3, 6)
+        assert costs_seq.shape == (n, 3)
+
+        s = scen
+        for i in range(n):
+            u0, sol = mpc.control_step(frame, s)
+            np.testing.assert_allclose(np.asarray(u0s[i]), np.asarray(u0),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(costs_seq[i]),
+                                       np.asarray(sol.cost),
+                                       rtol=1e-5, atol=1e-6)
+            p1 = jax.vmap(lambda p, u, d: dynamics.step(
+                p, u, d, small_cfg.dt))(s.p0, u0, s.depth)
+            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
+        np.testing.assert_allclose(np.asarray(scen_out.p0),
+                                   np.asarray(s.p0), rtol=1e-5, atol=1e-6)
+
+    def test_closed_loop_progresses(self, rng):
+        """Closed-loop receding horizon drives features toward the target
+        (the solver actually controls the simulated plant)."""
+        cfg = MPCConfig(horizon=10, num_features=4, scenarios=2,
+                        q_edge=0.0)
+        mpc = VisualServoMPC(cfg)
+        frame = rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(2), 2)
+        d0 = np.abs(np.asarray(scen.p0 - scen.target)).mean()
+        _, _, scen_out = mpc.receding_horizon(jnp.asarray(frame), scen, 12)
+        d1 = np.abs(np.asarray(scen_out.p0 - scen_out.target)).mean()
+        # progress rate is bounded by the control box and dt (~dt*|L||u|
+        # per frame); 12 frames of the default budget measure ~0.70x.
+        assert d1 < 0.8 * d0
+
+
 class TestEdgeRefresh:
     """edge_refresh="admm" (one pyramid linearization per ADMM iteration,
     shared by the iLQR sweeps) must keep cross-backend equivalence and
