@@ -18,7 +18,9 @@ import numpy as np  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--image", default="/root/reference/images/test.jpg")
+    ap.add_argument("--image", default=None,
+                    help="input photo (default: the in-package 1080p "
+                         "benchmark frame)")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--scenarios", type=int, default=4)
     ap.add_argument("--out", default="results/visual_servo_demo.png")
@@ -26,11 +28,11 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from openmp_parallel_computing_tpu import imgio, ops
+    from openmp_parallel_computing_tpu import data, imgio, ops
     from openmp_parallel_computing_tpu.models.mpc import MPCRuntime
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
-    frame_hwc = imgio.load(args.image)
+    frame_hwc = imgio.load(args.image or data.frame_path())
     frame = np.transpose(frame_hwc, (2, 0, 1)).copy()
     h, w = frame.shape[1:]
 

@@ -20,11 +20,13 @@ import numpy as np
 
 
 def load_headline_frame() -> jax.Array:
-    """The canonical 1080p benchmark input as a planar (C, H, W) u8 array."""
-    from openmp_parallel_computing_tpu import imgio
+    """The canonical 1080p benchmark input as a planar (C, H, W) u8 array.
 
-    frame_hwc = imgio.load("/root/reference/images/test.jpg")
-    return jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    Ships in-package (``openmp_parallel_computing_tpu.data``) so the bench
+    runs from a clean checkout without the reference mount."""
+    from openmp_parallel_computing_tpu import data
+
+    return data.load_frame_planar()
 
 
 def chain_throughput(mpc, frame, batch: int, reps: int,

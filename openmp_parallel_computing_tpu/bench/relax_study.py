@@ -32,7 +32,7 @@ def run(scenarios: int, edge_refresh: str, relaxes, budgets,
     import jax.numpy as jnp
     import numpy as np
 
-    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu import data
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.ops import xla_ref
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
@@ -40,8 +40,7 @@ def run(scenarios: int, edge_refresh: str, relaxes, budgets,
     # Real 1080p Sobel features (XLA twin of the Pallas pipeline —
     # bit-equivalent, tests/test_golden_parity.py) so the edge cost term
     # sees the production texture statistics.
-    frame_hwc = imgio.load("/root/reference/images/test.jpg")
-    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    frame = data.load_frame_planar()
     edge_map = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
 
     def solve(ilqr, admm, relax):
@@ -92,13 +91,12 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
     import jax.numpy as jnp
     import numpy as np
 
-    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu import data
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.ops import xla_ref
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
-    frame_hwc = imgio.load("/root/reference/images/test.jpg")
-    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    frame = data.load_frame_planar()
     edge_map = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
 
     rows = []

@@ -17,10 +17,10 @@ from openmp_parallel_computing_tpu import imgio, ops
 from openmp_parallel_computing_tpu.ops import xla_ref
 
 GOLDEN = Path(__file__).parent / "golden"
-FIXTURE = Path("/root/reference/images/test.jpg")
-
-pytestmark = pytest.mark.skipif(
-    not FIXTURE.exists(), reason="reference fixture images not mounted")
+# The parity fixtures live in-tree (goldens produced by the reference
+# binaries once, committed); only tests that read the reference mount
+# directly carry their own skipif.
+REFERENCE_IMAGES = Path("/root/reference/images")
 
 
 @pytest.fixture(scope="module")
@@ -67,14 +67,26 @@ def test_imgio_roundtrip(tmp_path, frame):
     np.testing.assert_array_equal(imgio.load(p), hwc)
 
 
+@pytest.mark.skipif(not REFERENCE_IMAGES.exists(),
+                    reason="reference fixture images not mounted")
 def test_reference_gray_png_decodes():
     """The reference's pre-converted grayscale fixture decodes cleanly
     (PNG path, non-RGB channel count handled)."""
-    p = Path("/root/reference/images/test_gray.png")
+    p = REFERENCE_IMAGES / "test_gray.png"
     img = imgio.load(p)
     assert img.shape[0] == 1080 and img.shape[1] == 1920
     assert img.shape[2] in (1, 3)
     assert img.dtype == np.uint8
+
+
+def test_package_fixture_matches_golden_input(frame):
+    """The in-package benchmark frame (data.frame_1080p.png) must stay
+    pixel-identical to the golden-parity input, so bench numbers and parity
+    checks describe the same image."""
+    from openmp_parallel_computing_tpu import data
+
+    pkg = np.transpose(data.load_frame_hwc(), (2, 0, 1))
+    np.testing.assert_array_equal(pkg, frame)
 
 
 def test_imgio_jpeg_encode(tmp_path, frame):
