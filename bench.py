@@ -1,34 +1,45 @@
-"""Headline benchmark: MPC solves/s/chip at H=20 on 1080p Sobel features.
+"""Headline benchmark: MPC solves/s/chip at H=20 with per-step perception
+on 1080p frames.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is measured against the BASELINE.json north-star target of
 1,000 solves/s/chip (the reference repo publishes no MPC numbers — its CSVs
 cover the CPU stencil harness, reproduced separately by ``-m ...bench``).
 
-The measured unit of work is one full closed-loop control step: fused
-Pallas grayscale->Sobel on the 1080p frame, edge cost pyramid, a batch of
-complete ADMM+iLQR MPC solves (H=20, 8 features, box-constrained), the
-first control applied to the true feature dynamics, and the warm-start
-shift — the receding-horizon loop. solves/s = scenarios * steps / wall.
+The measured unit of work is one full closed-loop control step, with
+EVERY stage paid EVERY step: fused Pallas grayscale->Sobel->pooled-pyramid
+perception on that step's 1080p camera frame, a batch of complete
+ADMM+iLQR MPC solves (H=20, 8 features, box-constrained), the first
+control applied to the true feature dynamics, and the warm-start shift.
+solves/s = scenarios * steps / wall. The loop runs device-resident via
+``VisualServoMPC.receding_horizon_frames`` (``lax.scan`` over full control
+steps against a ring of DISTINCT frames — the device cannot reuse a
+pyramid across steps; equivalence-tested against the per-step host loop in
+tests/test_mpc.py::TestRecedingHorizon). This mirrors the reference's
+timing discipline (``monolithic/src/main.c:31-39``: every measured pass
+reruns the whole kernel).
 
-Throughput methodology: the loop runs device-resident via
-``VisualServoMPC.receding_horizon`` (``lax.scan`` over full control
-steps, ONE dispatch per window; equivalence-tested against the
-host-dispatched loop in tests/test_mpc.py::TestRecedingHorizon). Each
-step consumes the previous step's state and shifted plan, so the device
-executes them strictly in order and the final result-dependent fetch
-proves the window ran. Host-synced per-call numbers are NOT the
-framework's cost on this dev runtime — a trivial ``jit(x+1)`` call costs
-~34 ms through the TPU relay (results/tpu_v5e/latency_floor.json) and
-even per-step host *dispatch* without syncs costs more than the solve
-itself at this batch (results/tpu_v5e/device_loop.json vs
-batch_ceiling_r2i.json) — benchmarking those measures the relay, not the
-solver.
+A second row reports the SOLVER-ONLY CEILING: the fixed-frame
+``receding_horizon`` loop, where one pyramid build amortizes over the
+window (offline policy evaluation / solver tuning — perception excluded
+by construction). Round 2 reported this as the headline; it is kept as a
+labeled ceiling, not the headline (VERDICT round 2, "what's weak" #1).
+
+Throughput methodology: each scan step consumes the previous step's state
+and shifted plan, so the device executes steps strictly in order and the
+final result-dependent fetch proves the window ran. Host-synced per-call
+numbers are NOT the framework's cost on this dev runtime — a trivial
+``jit(x+1)`` call costs ~34 ms through the TPU relay
+(results/tpu_v5e/latency_floor.json) — benchmarking those measures the
+relay, not the solver. The reported value is the MEDIAN of the trial
+windows (the relay's host-side dispatch rate varies run to run; the
+per-trial numbers are included so the spread is on record).
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import jax
@@ -37,19 +48,25 @@ import numpy as np
 
 SCENARIOS = 256
 # Window length: long enough that the relay's fixed ~35 ms final-fetch RTT
-# is <10% of the window wall (at ~0.5 ms device time per 256-scenario
-# step). On production TPU runtimes there is no relay and the fetch is ~µs.
+# is <10% of the window wall (at ~1 ms device time per 256-scenario
+# perception+solve step). On production TPU runtimes there is no relay and
+# the fetch is ~µs.
 STEPS = 800
-# Windows per run; the best is reported. Device throughput is stable but
-# the dev relay's host-side state varies run to run (controlled A/Bs in
-# results/tpu_v5e/pack_study_solve.json show ~10-20% spread between
-# chains at identical config); the max is the honest sustained-capability
-# number, the min reflects relay load, not the framework.
-TRIALS = 3
+RING = 8            # distinct 1080p frames cycled by the scan
+TRIALS = 5
+
+
+def _frame_ring(frame: jax.Array, n: int) -> jax.Array:
+    """n distinct (C, H, W) frames from the canonical photo: cyclic column
+    shifts — a different image to the kernels every step (perception work
+    is content-independent), while edge statistics stay production-like."""
+    shift = frame.shape[-1] // n
+    return jnp.stack([jnp.roll(frame, k * shift, axis=-1)
+                      for k in range(n)])
 
 
 def main() -> None:
-    from openmp_parallel_computing_tpu import imgio
+    from openmp_parallel_computing_tpu import data
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
@@ -62,39 +79,59 @@ def main() -> None:
     # Iteration budget + over-relaxation: the MPCConfig defaults (1 iLQR
     # sweep x 5 ADMM iterations at admm_relax=1.3) — quality-equivalent to
     # the plain-ADMM 3x5 budget at a third of the sweeps
-    # (results/cpu/relax_study_*.json, docs/DESIGN.md §2f).
+    # (results/cpu/relax_study_*.json, docs/DESIGN.md §2f; gated by
+    # tests/test_solver_quality.py at exactly these defaults).
     cfg = MPCConfig(horizon=20, num_features=8, scenarios=SCENARIOS,
                     edge_refresh="solve")
     mpc = VisualServoMPC(cfg)
 
-    frame_hwc = imgio.load("/root/reference/images/test.jpg")
-    frame = jnp.asarray(np.transpose(frame_hwc, (2, 0, 1)))
+    frame = data.load_frame_planar()          # in-package 1080p fixture
+    frames = jax.device_put(_frame_ring(frame, RING))
 
     scen = mpc.random_scenarios(jax.random.PRNGKey(0), SCENARIOS)
     scen = jax.tree.map(jax.device_put, scen)
 
+    # --- headline: per-step perception over the frame ring ---------------
     # Warm up (compile + honest sync: on relayed/async device backends
     # ``block_until_ready`` can return before execution finishes, so the
     # sync point fetches bytes of the final result — which depends on
     # every step before it through the closed-loop carry).
-    u0s, _, scen = mpc.receding_horizon(frame, scen, STEPS)
+    u0s, _, scen = mpc.receding_horizon_frames(frames, scen, STEPS)
     np.asarray(u0s[-1])
 
-    best = 0.0
+    trials = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        u0s, _, scen = mpc.receding_horizon(frame, scen, STEPS)
+        u0s, _, scen = mpc.receding_horizon_frames(frames, scen, STEPS)
         np.asarray(u0s[-1])
-        wall = time.perf_counter() - t0
-        best = max(best, SCENARIOS * STEPS / wall)
-
+        trials.append(SCENARIOS * STEPS / (time.perf_counter() - t0))
     assert np.all(np.isfinite(np.asarray(u0s[-1])))
-    solves_per_s = best
+    headline = statistics.median(trials)
+
+    # --- solver-only ceiling: fixed frame, pyramid amortized -------------
+    u0s, _, scen = mpc.receding_horizon(frames[0], scen, STEPS)
+    np.asarray(u0s[-1])
+    ceiling_trials = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        u0s, _, scen = mpc.receding_horizon(frames[0], scen, STEPS)
+        np.asarray(u0s[-1])
+        ceiling_trials.append(SCENARIOS * STEPS / (time.perf_counter() - t0))
+    assert np.all(np.isfinite(np.asarray(u0s[-1])))
+    ceiling = statistics.median(ceiling_trials)
+
     print(json.dumps({
-        "metric": "mpc_solves_per_s_per_chip_h20_1080p",
-        "value": round(solves_per_s, 1),
+        "metric": "mpc_solves_per_s_per_chip_h20_1080p_perstep_perception",
+        "value": round(headline, 1),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 1000.0, 3),
+        "vs_baseline": round(headline / 1000.0, 3),
+        "trials": [round(t, 1) for t in trials],
+        "solver_only_ceiling": round(ceiling, 1),
+        "ceiling_trials": [round(t, 1) for t in ceiling_trials],
+        "perception_schedule": (
+            f"full grayscale->Sobel->pyramid on a fresh 1080p frame EVERY "
+            f"control step (ring of {RING} distinct frames); ceiling row "
+            f"amortizes one pyramid per {STEPS}-step window"),
     }))
 
 

@@ -115,6 +115,32 @@ def _pick_candidates(J, cand, a_axis: int, n_batch_dims: int):
     return out
 
 
+def sweep_vmem_estimates(h: int, n: int, cdim: int, A: int,
+                         tile: int) -> dict[str, int]:
+    """Per-grid-tile VMEM bytes of the one-launch sweep kernels — the
+    admission guards for ``unified_sweep`` / ``multi_sweep`` /
+    ``full_solve``.
+
+    Hand-maintained mirrors of the kernels' ``scratch_shapes`` (plus, for
+    "multi", its VMEM-resident whole-array output blocks); a config the
+    guard admits that Mosaic cannot fit is a compile-time failure on real
+    chips, so tests/test_sweep_paths.py cross-checks these against the
+    actual scratch_shapes the kernels request.
+
+    - "unified": Vx(n) + Vxx(n²) + gains K(h·c·n) + k(h·c) +
+      candidate states(A·n) + running costs(A).
+    - "multi": unified + stored candidates ((A-1)·h·(n+c)) + the nominal
+      trajectory/controls held as whole VMEM output blocks ((h+1)·n + h·c).
+    - "full": multi + feasible-rollout state (n) + ADMM z/y (2·h·c); the
+      nominal lives in scratch instead of output blocks (same size).
+    """
+    gains = (h * cdim * (n + 1) + n * n + n + A * (n + 1)) * tile * 4
+    multi = gains + ((h + 1) * n + h * cdim
+                     + (A - 1) * h * (n + cdim)) * tile * 4
+    full = multi + (n + 2 * h * cdim) * tile * 4
+    return {"unified": gains, "multi": multi, "full": full}
+
+
 def _choose_pack(B: int) -> int:
     """Sublane factor (1 = lane-only) minimizing padded work / measured
     layout speed for a batch of B scenarios."""
@@ -475,33 +501,18 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     def pick(J, cand, a_axis):
         return _pick_candidates(J, cand, a_axis, len(bshape))
 
-    # One-launch unified sweep keeps the gains in VMEM scratch between the
-    # backward and forward phases — use it whenever that scratch fits.
-    # Scratch is per grid TILE (1024 scenarios packed, 128 unpacked), not
-    # per batch.
-    gains_scratch = (h * cdim * (n + 1) + n * n + n
-                     + len(sp.ALPHAS) * (n + 1)) * tile * 4
-    use_unified = gains_scratch < 10 * 1024 * 1024
-    # One-launch-per-ADMM-iteration kernel: needs the fixed per-ADMM edge
-    # linearization (edge_refresh="admm") and VMEM for the nominal
-    # trajectory + candidate controls on top of the gains.
+    # One-launch kernel admission: use each fused kernel whenever its
+    # per-grid-TILE VMEM footprint fits (1024 scenarios packed, 128
+    # unpacked — NOT per batch). Estimates in ``sweep_vmem_estimates``,
+    # cross-checked against the kernels' actual scratch_shapes by
+    # tests/test_sweep_paths.py::TestScratchEstimates.
     A = len(sp.ALPHAS)
-    # Per tile: VMEM-resident nominal (the output blocks, (h+1)n + h*c)
-    # plus the stored-candidate buffers pc/uc ((A-1)*h*(n+c)) on top of
-    # the gains scratch (matches _multi_sweep_kernel's scratch_shapes —
-    # keep in sync or the guard admits configs Mosaic cannot fit).
-    multi_scratch = gains_scratch + ((h + 1) * n + h * cdim
-                                     + (A - 1) * h * (n + cdim)) * tile * 4
+    est = sweep_vmem_estimates(h, n, cdim, A, tile)
+    use_unified = est["unified"] < 10 * 1024 * 1024
     use_multi = (cfg.edge_refresh in ("admm", "solve")
-                 and multi_scratch < 10 * 1024 * 1024)
-    # Whole-solve one-launch kernel: needs the per-solve edge linearization
-    # (edge_refresh="solve") and VMEM for the ADMM z/y state on top of the
-    # multi-sweep scratch.
-    # Adds the ADMM z/y state and the feasible-rollout state; the nominal
-    # lives in scratch instead of resident output blocks (same size).
-    full_scratch = multi_scratch + (n + 2 * h * cdim) * tile * 4
+                 and est["multi"] < 10 * 1024 * 1024)
     use_full = (_FULL_SOLVE and cfg.edge_refresh == "solve"
-                and full_scratch < 10 * 1024 * 1024)
+                and est["full"] < 10 * 1024 * 1024)
 
     def ilqr_once(carry, g_fix=None):
         us_l, ps_l, z_l, y_l = carry
@@ -692,12 +703,14 @@ class VisualServoMPC:
         (warm start), applies the first control to the TRUE feature
         dynamics (``dynamics.step``, depth held constant — the same model
         the solver plans with), and carries the evolved state into the
-        next solve. The camera frame is fixed for the window, so the
-        perception front-end and cost pyramid run once and stay
-        device-resident — the idiomatic TPU shape for offline policy
-        evaluation, solver tuning sweeps, and throughput benchmarking,
-        where a host-dispatched per-step loop would pay a host round-trip
-        per frame for no new information.
+        next solve. The camera frame is FIXED for the window, so the
+        perception front-end and cost pyramid run ONCE per window and stay
+        device-resident — this is the solver-only throughput ceiling, the
+        idiomatic TPU shape for offline policy evaluation and solver
+        tuning sweeps. A live camera loop pays perception every step: for
+        perception-honest throughput (and the headline bench) use
+        :meth:`receding_horizon_frames`, which rebuilds the pyramid from a
+        fresh frame inside every scan step.
 
         Returns ``(u0s (n_frames, B, c), costs (n_frames, B), scen')``
         with ``scen'`` positioned to continue the loop (e.g. on the next
@@ -717,6 +730,48 @@ class VisualServoMPC:
 
         scen_out, (u0s, cost_seq) = jax.lax.scan(
             body, scen, None, length=n_frames)
+        return u0s, cost_seq, scen_out
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def receding_horizon_frames(self, frames: jax.Array, scen: Scenario,
+                                n_steps: int):
+        """Device-resident receding-horizon loop over a RING OF FRAMES:
+        every control step runs the FULL per-frame path — fused Pallas
+        grayscale -> Sobel -> pooled pyramid on that step's camera frame,
+        then the batched solve, the first control applied to the true
+        dynamics, and the warm-start shift — all inside one ``lax.scan``
+        dispatch.
+
+        This is the perception-honest throughput loop: unlike
+        :meth:`receding_horizon` (which amortizes one pyramid build over
+        the whole window — the solver-only ceiling), each step here pays
+        the perception front-end, exactly like a live camera loop does and
+        like the reference's per-pass timing discipline
+        (``monolithic/src/main.c:31-39``: every measured pass reruns the
+        whole kernel). ``frames`` is (F, C, H, W) u8; step t uses frame
+        ``t mod F`` via an in-scan dynamic slice, so the device cannot
+        hoist or reuse a pyramid across steps with distinct frames.
+
+        Returns ``(u0s (n_steps, B, c), costs (n_steps, B), scen')`` —
+        the same contract as :meth:`receding_horizon`.
+        """
+        n_ring = frames.shape[0]
+        shape = frames.shape[2:]
+        dt = self.cfg.dt
+
+        def body(s, idx):
+            frame = jax.lax.dynamic_index_in_dim(frames, idx, axis=0,
+                                                 keepdims=False)
+            pyramid = costs.build_cost_pyramid_from_frame(frame)
+            sol = self._solve_pyramid(pyramid, shape, s)
+            u0 = sol.us[:, 0]
+            p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
+                s.p0, u0, s.depth)
+            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
+            return s, (u0, sol.cost)
+
+        idxs = jnp.arange(n_steps, dtype=jnp.int32) % n_ring
+        scen_out, (u0s, cost_seq) = jax.lax.scan(body, scen, idxs)
         return u0s, cost_seq, scen_out
 
     # jit static self: the key must cover everything the traced program

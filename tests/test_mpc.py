@@ -303,35 +303,105 @@ class TestSolver:
 
 
 class TestRecedingHorizon:
-    def test_scan_matches_host_loop(self, small_cfg, rng):
-        """The device-resident lax.scan loop (one dispatch) is numerically
-        identical to a host loop of control_step + manual dynamics step +
-        warm-start shift — the scan only removes host round-trips."""
+    # The headline bench runs q_edge=0.1 with edge_refresh="solve"; the
+    # equivalence tests cover that configuration plus the cold-start-safe
+    # default ("admm") so the scan loops are verified at the shipped
+    # settings, not only the edge-free small_cfg.
+    #
+    # Tolerances: the scan body and control_step compile to DIFFERENT XLA
+    # programs, so fp rounding differs at the ~1e-7 level per step; the
+    # closed loop amplifies it (controls ride the saturation boundary), to
+    # ~6e-4 by step 4 on adversarial random frames. Step 0 is compared
+    # tightly (same inputs, one program each); later steps use closed-loop
+    # tolerances. Each test draws its own seeded rng so failures reproduce
+    # independent of test order (the shared session fixture is stateful).
+    def _loop_check(self, mpc, frame_for_step, scen, n, u0s, costs_seq,
+                    scen_out):
         from openmp_parallel_computing_tpu.models.mpc import dynamics
 
-        mpc = VisualServoMPC(small_cfg)
-        frame = rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8)
-        frame = jnp.asarray(frame)
+        s = scen
+        for i in range(n):
+            u0, sol = mpc.control_step(frame_for_step(i), s)
+            tol = dict(rtol=1e-5, atol=1e-6) if i == 0 else \
+                dict(rtol=1e-3, atol=5e-3)
+            np.testing.assert_allclose(np.asarray(u0s[i]), np.asarray(u0),
+                                       **tol)
+            np.testing.assert_allclose(np.asarray(costs_seq[i]),
+                                       np.asarray(sol.cost),
+                                       rtol=1e-3, atol=1e-4)
+            p1 = jax.vmap(lambda p, u, d: dynamics.step(
+                p, u, d, mpc.cfg.dt))(s.p0, u0, s.depth)
+            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
+        np.testing.assert_allclose(np.asarray(scen_out.p0),
+                                   np.asarray(s.p0), rtol=1e-3, atol=5e-3)
+
+    @pytest.mark.parametrize("refresh", ["admm", "solve"])
+    def test_scan_matches_host_loop(self, small_cfg, refresh):
+        """The device-resident lax.scan loop (one dispatch) matches a host
+        loop of control_step + manual dynamics step + warm-start shift —
+        the scan only removes host round-trips."""
+        import dataclasses
+
+        cfg = dataclasses.replace(small_cfg, q_edge=0.1,
+                                  edge_refresh=refresh)
+        mpc = VisualServoMPC(cfg)
+        rng = np.random.default_rng(41)
+        frame = jnp.asarray(
+            rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8))
         scen = mpc.random_scenarios(jax.random.PRNGKey(11), 3)
 
         n = 4
         u0s, costs_seq, scen_out = mpc.receding_horizon(frame, scen, n)
         assert u0s.shape == (n, 3, 6)
         assert costs_seq.shape == (n, 3)
+        self._loop_check(mpc, lambda i: frame, scen, n, u0s, costs_seq,
+                         scen_out)
 
-        s = scen
-        for i in range(n):
-            u0, sol = mpc.control_step(frame, s)
-            np.testing.assert_allclose(np.asarray(u0s[i]), np.asarray(u0),
-                                       rtol=1e-5, atol=1e-6)
-            np.testing.assert_allclose(np.asarray(costs_seq[i]),
-                                       np.asarray(sol.cost),
-                                       rtol=1e-5, atol=1e-6)
-            p1 = jax.vmap(lambda p, u, d: dynamics.step(
-                p, u, d, small_cfg.dt))(s.p0, u0, s.depth)
-            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
-        np.testing.assert_allclose(np.asarray(scen_out.p0),
-                                   np.asarray(s.p0), rtol=1e-5, atol=1e-6)
+    @pytest.mark.parametrize("refresh", ["admm", "solve"])
+    def test_frames_scan_matches_host_loop(self, small_cfg, refresh):
+        """receding_horizon_frames (per-step perception over a frame ring)
+        matches a host loop of control_step on frame t mod F. Frames are
+        DISTINCT (q_edge > 0), so a frame-indexing or pyramid-reuse bug
+        changes the solutions and fails the comparison."""
+        import dataclasses
+
+        cfg = dataclasses.replace(small_cfg, q_edge=0.1,
+                                  edge_refresh=refresh)
+        mpc = VisualServoMPC(cfg)
+        rng = np.random.default_rng(42)
+        n_ring, n = 3, 5
+        frames = jnp.asarray(rng.integers(
+            0, 256, size=(n_ring, 3, 64, 128), dtype=np.uint8))
+        scen = mpc.random_scenarios(jax.random.PRNGKey(12), 3)
+
+        u0s, costs_seq, scen_out = mpc.receding_horizon_frames(
+            frames, scen, n)
+        assert u0s.shape == (n, 3, 6)
+        self._loop_check(mpc, lambda i: frames[i % n_ring], scen, n, u0s,
+                         costs_seq, scen_out)
+
+    def test_frames_ring_actually_varies(self, small_cfg):
+        """With distinct ring frames the per-step controls must differ from
+        a fixed-frame loop (guards against the scan silently reusing one
+        pyramid — the round-2 headline-honesty finding)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(small_cfg, q_edge=0.5)
+        mpc = VisualServoMPC(cfg)
+        rng = np.random.default_rng(43)
+        f0 = rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8)
+        f1 = np.roll(f0, 31, axis=2)
+        frames = jnp.asarray(np.stack([f0, f1]))
+        scen = mpc.random_scenarios(jax.random.PRNGKey(13), 2)
+        u_ring, _, _ = mpc.receding_horizon_frames(frames, scen, 4)
+        u_fixed, _, _ = mpc.receding_horizon(jnp.asarray(f0), scen, 4)
+        # step 0 sees the same frame either way...
+        np.testing.assert_allclose(np.asarray(u_ring[0]),
+                                   np.asarray(u_fixed[0]),
+                                   rtol=1e-5, atol=1e-6)
+        # ...but step 1 sees f1 in the ring and must diverge.
+        assert not np.allclose(np.asarray(u_ring[1]),
+                               np.asarray(u_fixed[1]), atol=1e-6)
 
     def test_closed_loop_progresses(self, rng):
         """Closed-loop receding horizon drives features toward the target
