@@ -357,3 +357,81 @@ class TestPickCandidates:
             np.asarray(cand), np.argmin(np.asarray(J), 0)[None, None], 0)[0]
         np.testing.assert_array_equal(
             np.asarray(S._pick_candidates(J, cand, 0, 1)), want)
+
+
+class TestScratchEstimates:
+    """The solver's hand-maintained VMEM admission guards
+    (``solver.sweep_vmem_estimates``) must equal the VMEM the kernels
+    actually request — an estimate that under-counts admits configs
+    Mosaic cannot compile on real chips (the guard exists because
+    interpret mode hides scratch pressure entirely)."""
+
+    H, MF = 7, 3          # odd/unusual sizes force fresh jit traces
+    N, C, TILE = 6, 6, sp.LANE
+
+    def _capture(self, monkeypatch, call):
+        """Run ``call`` with pl.pallas_call wrapped to record the
+        scratch_shapes of every launch; returns total scratch bytes."""
+        captured = []
+        real = sp.pl.pallas_call
+
+        def wrapper(*a, **kw):
+            if kw.get("scratch_shapes"):
+                captured.append(list(kw["scratch_shapes"]))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(sp.pl, "pallas_call", wrapper)
+        call()
+        assert len(captured) == 1, "expected exactly one scratched launch"
+        return sum(int(np.prod(ref.shape)) * np.dtype(ref.dtype).itemsize
+                   for ref in captured[0])
+
+    def _args(self):
+        H, n, c, mf, B = self.H, self.N, self.C, self.MF, self.TILE
+        rng = np.random.default_rng(5)
+        ps = jnp.asarray(rng.normal(size=(H + 1, n, B)) * 0.2, jnp.float32)
+        us = jnp.asarray(rng.normal(size=(H, c, B)) * 0.1, jnp.float32)
+        g = jnp.zeros((H + 1, n, B), jnp.float32)
+        target = jnp.asarray(rng.normal(size=(n, B)) * 0.2, jnp.float32)
+        izd = jnp.asarray(rng.uniform(0.3, 1.0, (mf, B)), jnp.float32)
+        kw = dict(m=mf, q=1.0, r=0.01, rho=0.1, qe=0.0, dt=1 / 30)
+        return ps[0], ps, us, jnp.clip(us, -1, 1), jnp.zeros_like(us), \
+            g, target, izd, kw
+
+    def test_unified(self, monkeypatch):
+        from openmp_parallel_computing_tpu.models.mpc.solver import (
+            sweep_vmem_estimates)
+
+        p0, ps, us, z, y, g, target, izd, kw = self._args()
+        got = self._capture(monkeypatch, lambda: jax.block_until_ready(
+            sp.unified_sweep(p0, ps, us, z, y, g, target, izd, **kw)))
+        est = sweep_vmem_estimates(self.H, self.N, self.C, len(sp.ALPHAS),
+                                   self.TILE)
+        assert got == est["unified"]
+
+    def test_multi(self, monkeypatch):
+        from openmp_parallel_computing_tpu.models.mpc.solver import (
+            sweep_vmem_estimates)
+
+        p0, ps, us, z, y, g, target, izd, kw = self._args()
+        got = self._capture(monkeypatch, lambda: jax.block_until_ready(
+            sp.multi_sweep(p0, ps, us, z, y, g, target, izd, sweeps=2,
+                           **kw)))
+        # multi_sweep additionally holds its whole-array outputs (nominal
+        # trajectory + controls) resident in VMEM; the estimate counts them.
+        resident = ((self.H + 1) * self.N + self.H * self.C) * self.TILE * 4
+        est = sweep_vmem_estimates(self.H, self.N, self.C, len(sp.ALPHAS),
+                                   self.TILE)
+        assert got + resident == est["multi"]
+
+    def test_full(self, monkeypatch):
+        from openmp_parallel_computing_tpu.models.mpc.solver import (
+            sweep_vmem_estimates)
+
+        p0, ps, us, z, y, g, target, izd, kw = self._args()
+        got = self._capture(monkeypatch, lambda: jax.block_until_ready(
+            sp.full_solve(p0, ps, us, g, target, izd, sweeps=2,
+                          admm_iters=2, u_limit=1.0, relax=1.3, **kw)))
+        est = sweep_vmem_estimates(self.H, self.N, self.C, len(sp.ALPHAS),
+                                   self.TILE)
+        assert got == est["full"]
