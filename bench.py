@@ -79,7 +79,7 @@ def main() -> None:
     # Iteration budget + over-relaxation: the MPCConfig defaults (1 iLQR
     # sweep x 5 ADMM iterations at admm_relax=1.3) — quality-equivalent to
     # the plain-ADMM 3x5 budget at a third of the sweeps
-    # (results/cpu/relax_study_*.json, docs/DESIGN.md §2f; gated by
+    # (results/cpu/relax_study_solve.json, docs/DESIGN.md §2f; gated by
     # tests/test_solver_quality.py at exactly these defaults).
     cfg = MPCConfig(horizon=20, num_features=8, scenarios=SCENARIOS,
                     edge_refresh="solve")

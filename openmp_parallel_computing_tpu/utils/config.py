@@ -35,8 +35,8 @@ class MPCConfig:
     # Iteration budget: 1x5 with admm_relax=1.3 (below) matches or beats
     # the plain-ADMM 3x5 plateau on every quality metric — mean final cost
     # vs a converged baseline, primal residual, and closed-loop tracking —
-    # at a third of the sweeps (results/cpu/relax_study_*.json,
-    # relax_loop*.json; docs/DESIGN.md §2f). The headline bench (bench.py)
+    # at a third of the sweeps (results/cpu/relax_study_solve.json,
+    # relax_loop_solve.json; docs/DESIGN.md §2f). The headline bench (bench.py)
     # runs exactly these defaults so the published number is the shipped
     # configuration.
     ilqr_iters: int = 1               # linearize/solve sweeps per ADMM iter
@@ -82,7 +82,7 @@ class MPCConfig:
     # edge-dominated instance (q_track=0, 50x edge weight — DESIGN.md
     # §2f), while 1.3 improves BOTH the production operating point (the
     # 1x5 budget above beats the plain 15-sweep plateau,
-    # results/cpu/relax_study_*.json) and that adversarial instance.
+    # results/cpu/relax_study_solve.json) and that adversarial instance.
     # Same semantics in every backend (equivalence-tested at relax != 1).
     admm_relax: float = 1.3
 

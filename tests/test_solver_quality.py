@@ -19,12 +19,19 @@ def edge_map():
 
 
 def test_default_budget_near_converged(edge_map):
+    """The SHIPPED MPCConfig defaults (1 iLQR sweep x 5 ADMM iterations at
+    admm_relax=1.3 — the configuration every headline number runs) must
+    land within 10% of a converged plain-ADMM baseline (8x15 @ relax 1.0).
+    Quality evidence across budgets/relaxes:
+    results/cpu/relax_study_solve.json (docs/DESIGN.md §2f)."""
     m, h = 4, 20
     base_kwargs = dict(horizon=h, num_features=m)
-    fast = VisualServoMPC(MPCConfig(**base_kwargs, ilqr_iters=3,
-                                    admm_iters=5))
+    fast = VisualServoMPC(MPCConfig(**base_kwargs))  # shipped defaults
+    assert (fast.cfg.ilqr_iters, fast.cfg.admm_iters,
+            fast.cfg.admm_relax) == (1, 5, 1.3), \
+        "defaults moved: update the budget gate AND the quality studies"
     slow = VisualServoMPC(MPCConfig(**base_kwargs, ilqr_iters=8,
-                                    admm_iters=15))
+                                    admm_iters=15, admm_relax=1.0))
     scen = fast.random_scenarios(jax.random.PRNGKey(0), 8)
     cost_fast = np.asarray(fast.solve_batch(edge_map, scen).cost)
     cost_slow = np.asarray(slow.solve_batch(edge_map, scen).cost)
@@ -32,6 +39,45 @@ def test_default_budget_near_converged(edge_map):
     # real-time budget; 10% mean regression is the acceptance bar.
     rel = (cost_fast - cost_slow) / np.maximum(np.abs(cost_slow), 1e-3)
     assert rel.mean() < 0.10, f"default budget too loose: {rel}"
+
+
+def test_headline_budget_near_converged(edge_map):
+    """Same gate at the HEADLINE configuration (edge_refresh="solve",
+    the warm-start receding-horizon schedule bench.py runs)."""
+    fast = VisualServoMPC(MPCConfig(horizon=20, num_features=4,
+                                    edge_refresh="solve"))
+    slow = VisualServoMPC(MPCConfig(horizon=20, num_features=4,
+                                    ilqr_iters=8, admm_iters=15,
+                                    admm_relax=1.0))
+    scen = fast.random_scenarios(jax.random.PRNGKey(3), 8)
+    cost_fast = np.asarray(fast.solve_batch(edge_map, scen).cost)
+    cost_slow = np.asarray(slow.solve_batch(edge_map, scen).cost)
+    rel = (cost_fast - cost_slow) / np.maximum(np.abs(cost_slow), 1e-3)
+    assert rel.mean() < 0.10, f"headline budget too loose: {rel}"
+
+
+def test_pinned_control_sequence_parity():
+    """Control-sequence parity against a pinned golden solve at the
+    shipped defaults (H=20, 8 features, 1x5 @ relax 1.3, sweep backend) —
+    the BASELINE.md 'control-sequence parity within tolerance at the same
+    horizon' row, now gated at the configuration the headline ships.
+    Regenerate tests/golden/mpc_us_h20_defaults.npz only with an
+    intentional solver-semantics change (same script: solve 8 scenarios
+    from PRNGKey(123) on the seed-17 uniform edge map)."""
+    gold = np.load(
+        __import__("pathlib").Path(__file__).parent
+        / "golden" / "mpc_us_h20_defaults.npz")
+    cfg = MPCConfig()
+    mpc = VisualServoMPC(cfg)
+    rng = np.random.default_rng(int(gold["edge_seed"]))
+    edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+    scen = mpc.random_scenarios(
+        jax.random.PRNGKey(int(gold["scen_key"])), int(gold["n_scen"]))
+    sol = mpc.solve_batch(edge, scen)
+    np.testing.assert_allclose(np.asarray(sol.us), gold["us"],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sol.cost), gold["cost"],
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_solutions_beat_zero_and_greedy(edge_map):
