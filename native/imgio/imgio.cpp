@@ -49,37 +49,63 @@ unsigned char *decode_jpeg(FILE *fp, int *w, int *h, int *channels) {
   // volatile: modified between setjmp and longjmp; without it the cleanup
   // path reads an indeterminate value (C99 7.13.2.1).
   unsigned char *volatile out = nullptr;
+  unsigned char *volatile cmyk_row = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
+    std::free(cmyk_row);
     std::free(out);
     return nullptr;
   }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, fp);
   jpeg_read_header(&cinfo, TRUE);
-  // CMYK/YCCK sources: libjpeg cannot convert these to RGB, and passing
-  // 4-component CMYK through as if it were RGBA silently inverts every
-  // pixel downstream. Reject them (stb_image, the reference's layer,
-  // converts; until we do, an error beats wrong image data).
-  if (cinfo.jpeg_color_space == JCS_CMYK ||
-      cinfo.jpeg_color_space == JCS_YCCK) {
-    set_error("jpeg: CMYK/YCCK color space is not supported");
-    std::longjmp(jerr.jump, 1);
-  }
+  // CMYK/YCCK sources decode to RGB like the reference's stb_image layer
+  // (stbi_load converts CMYK, branching on the Adobe APP14 transform).
+  // libjpeg cannot emit RGB from these itself, but it CAN emit CMYK
+  // (converting YCCK->CMYK internally); the CMYK->RGB step is done here
+  // per row. Adobe writers store CMYK *inverted* (the overwhelmingly
+  // common case, flagged by the APP14 marker): raw = 255 - ink, so
+  // R = C_raw * K_raw / 255. Non-Adobe CMYK stores ink directly:
+  // R = (255 - C) * (255 - K) / 255.
+  const bool cmyk = (cinfo.jpeg_color_space == JCS_CMYK ||
+                     cinfo.jpeg_color_space == JCS_YCCK);
+  if (cmyk) cinfo.out_color_space = JCS_CMYK;
   jpeg_start_decompress(&cinfo);
   *w = static_cast<int>(cinfo.output_width);
   *h = static_cast<int>(cinfo.output_height);
-  *channels = cinfo.output_components;
+  *channels = cmyk ? 3 : cinfo.output_components;
   size_t stride = static_cast<size_t>(*w) * *channels;
   out = static_cast<unsigned char *>(std::malloc(stride * *h));
-  if (!out) {
+  if (cmyk)
+    cmyk_row = static_cast<unsigned char *>(
+        std::malloc(static_cast<size_t>(*w) * 4));
+  if (!out || (cmyk && !cmyk_row)) {
     set_error("jpeg: out of memory");
     std::longjmp(jerr.jump, 1);
   }
+  const bool inverted = !cmyk || cinfo.saw_Adobe_marker;
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char *row = out + stride * cinfo.output_scanline;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    if (!cmyk) {
+      jpeg_read_scanlines(&cinfo, &row, 1);
+      continue;
+    }
+    unsigned char *craw = cmyk_row;
+    jpeg_read_scanlines(&cinfo, &craw, 1);
+    for (int x = 0; x < *w; ++x) {
+      unsigned c0 = cmyk_row[4 * x + 0], m0 = cmyk_row[4 * x + 1];
+      unsigned y0 = cmyk_row[4 * x + 2], k0 = cmyk_row[4 * x + 3];
+      if (!inverted) {
+        c0 = 255 - c0; m0 = 255 - m0; y0 = 255 - y0; k0 = 255 - k0;
+      }
+      // Rounded (a * b / 255) — same blend stb_image uses.
+      row[3 * x + 0] = static_cast<unsigned char>((c0 * k0 + 128) / 255);
+      row[3 * x + 1] = static_cast<unsigned char>((m0 * k0 + 128) / 255);
+      row[3 * x + 2] = static_cast<unsigned char>((y0 * k0 + 128) / 255);
+    }
   }
+  std::free(cmyk_row);
+  cmyk_row = nullptr;
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return out;
@@ -175,10 +201,13 @@ bool encode_png(const char *path, const unsigned char *data, int w, int h,
   png_set_IHDR(png, info, w, h, 8, color, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  if (stride_bytes == 0) stride_bytes = w * channels;
+  // Local (not the parameter): assigning a parameter after setjmp trips
+  // -Wclobbered; the longjmp path never reads it, but keep it clean.
+  const size_t stride =
+      stride_bytes ? static_cast<size_t>(stride_bytes)
+                   : static_cast<size_t>(w) * channels;
   for (int y = 0; y < h; ++y)
-    png_write_row(png, const_cast<png_bytep>(data + static_cast<size_t>(y) *
-                                                        stride_bytes));
+    png_write_row(png, const_cast<png_bytep>(data + y * stride));
   png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);
   std::fclose(fp);

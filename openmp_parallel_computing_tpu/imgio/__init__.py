@@ -139,6 +139,10 @@ def _load_pil(path) -> np.ndarray:
     img = Image.open(path)
     if img.mode == "P":
         img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+    elif img.mode == "CMYK":
+        # CMYK/YCCK JPEGs (Pillow normalizes YCCK to CMYK on open): decode
+        # to RGB like the native codec / stb_image do.
+        img = img.convert("RGB")
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         # 16-bit channels (PIL modes I;16 / I): high byte == strip_16.
