@@ -59,6 +59,24 @@ async function poll() {{
   const r = await fetch('/status?key=' + encodeURIComponent(key));
   const s = await r.json();
   if (!s.processed) {{ setTimeout(poll, 2000); return; }}
+  if (s.error) {{
+    document.getElementById('result').innerHTML =
+      `<p>job failed: <code>${{s.error}}</code></p>`;
+    return;
+  }}
+  if (s.u0_key) {{  // MPC completion: cost summary + result download
+    const t = Object.entries(s.times).map(
+      ([d, v]) => `${{d}} device(s): ${{v.toFixed(3)}}s`).join(', ');
+    document.getElementById('result').innerHTML =
+      `<h4>MPC batch solved</h4>` +
+      `<p>${{s.scenarios}} scenarios — mean final cost ` +
+      `${{s.costs.mean.toFixed(4)}}, max primal residual ` +
+      `${{s.costs.max_primal_residual.toFixed(4)}}</p>` +
+      `<p>solve time: ${{t}}</p>` +
+      `<p><a href="/image/${{s.u0_key}}">result npz</a> ` +
+      `(u0 / costs / primal_residual)</p>`;
+    return;
+  }}
   const times = s.times, devs = Object.keys(times);
   const base = times[devs[0]];
   let bars = '', bars2 = '', W = 60;
@@ -182,8 +200,13 @@ def make_handler(state: FrontendState):
         def do_GET(self):
             url = urllib.parse.urlparse(self.path)
             if url.path == "/":
+                # /?key=<job key> re-attaches the dashboard to any job —
+                # notably MPC submissions, whose POST /mpc returns JSON
+                # (the key) rather than this page.
+                q = urllib.parse.parse_qs(url.query)
+                key = q.get("key", [None])[0]
                 page = _PAGE.format(threads="1", repeat="1", passes="1",
-                                    key_json="null",
+                                    key_json=json.dumps(key),
                                     kernel_options=_kernel_options())
                 self._send(200, page.encode(), "text/html")
             elif url.path == "/status":
@@ -196,7 +219,11 @@ def make_handler(state: FrontendState):
                 if not state.store.exists(key):
                     self.send_error(404)
                     return
-                self._send(200, state.store.get(key), "image/png")
+                # MPC result payloads (npz) proxy through the same route;
+                # serve them as a download, not a PNG.
+                ctype = ("application/octet-stream" if key.endswith(".npz")
+                         else "image/png")
+                self._send(200, state.store.get(key), ctype)
             else:
                 self.send_error(404)
 
@@ -267,8 +294,10 @@ def make_handler(state: FrontendState):
             except (ValueError, KeyError) as exc:
                 self.send_error(400, str(exc))
                 return
-            self._send(200, json.dumps({"key": key}).encode(),
-                       "application/json")
+            self._send(200, json.dumps({
+                "key": key,
+                "dashboard": "/?key=" + urllib.parse.quote(key),
+            }).encode(), "application/json")
 
         def log_message(self, fmt, *args):
             pass
