@@ -341,10 +341,17 @@ class ControlBatcher:
         with _device_slots:
             t0 = time.perf_counter()
             u0, sol = mpc.control_step_multi(frames, scen)
-            u0 = np.asarray(u0)
-            cost = np.asarray(sol.cost)
-            res = np.asarray(sol.primal_residual)
+            # ONE device->host fetch for all three results: each separate
+            # np.asarray pays a full host<->device round trip (~35 ms on
+            # the relayed dev runtime — 3 fetches tripled the /control
+            # latency, results/tpu_v5e/control_latency_r3.json).
+            packed = np.asarray(jnp.concatenate(
+                [u0.reshape(-1), sol.cost, sol.primal_residual]))
             compute_s = time.perf_counter() - t0
+        nb = u0.shape[0]
+        u0 = packed[:nb * 6].reshape(nb, 6)
+        cost = packed[nb * 6:nb * 7]
+        res = packed[nb * 7:]
         metrics.observe("serve.batch_size", float(B))
         for i, it in enumerate(batch):
             it.result = {
