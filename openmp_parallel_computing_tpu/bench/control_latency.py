@@ -50,6 +50,29 @@ def _relay_floor_ms(samples: int = 10) -> float:
     return statistics.median(ts)
 
 
+def _h2d_ms_per_frame(frame_hw, samples: int = 8) -> float:
+    """Median wall of shipping one (3, H, W) u8 camera frame host->device
+    and proving arrival. On the dev relay this transport dominates the
+    /control device span (each request's frame must cross); production
+    PCIe/DMA moves the same ~6 MB in well under a millisecond."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    frame = np.zeros((3,) + tuple(frame_hw), np.uint8)
+    probe = jax.jit(lambda f: f[0, :2, :2].astype(jnp.int32))
+    np.asarray(probe(jax.device_put(frame)))  # compile
+    ts = []
+    for i in range(samples):
+        frame[0, 0, 0] = i  # defeat any content-hash caching
+        t0 = time.perf_counter()
+        np.asarray(probe(jax.device_put(frame)))
+        ts.append(1e3 * (time.perf_counter() - t0))
+    return statistics.median(ts)
+
+
 def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
               num_features: int = 8, frame_hw=(1080, 1920),
               budget_ms: float = 1e3 / 30.0, window_ms: float = 5.0) -> dict:
@@ -64,7 +87,13 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
     # The live handler + the real micro-batcher, sized to the largest
     # bucket under study.
     srv._batcher.configure(window_ms / 1e3, max(buckets))
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+
+    class _Server(ThreadingHTTPServer):
+        # Default listen backlog is 5; 16 simultaneous multi-MB uploads
+        # overflow it and the kernel drops connections mid-handshake.
+        request_queue_size = 64
+
+    httpd = _Server(("127.0.0.1", 0), srv.Handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{httpd.server_address[1]}/control"
 
@@ -97,8 +126,14 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
 
     def post():
         t0 = time.perf_counter()
-        r = requests.post(url, files={"image": ("f.png", png_bytes)},
-                          data=fields, timeout=600)
+        try:
+            r = requests.post(url, files={"image": ("f.png", png_bytes)},
+                              data=fields, timeout=600)
+        except requests.ConnectionError:
+            # One retry: a dropped handshake under heavy concurrent upload
+            # is transport noise, not a latency sample.
+            r = requests.post(url, files={"image": ("f.png", png_bytes)},
+                              data=fields, timeout=600)
         wall = time.perf_counter() - t0
         r.raise_for_status()
         body = r.json()
@@ -158,6 +193,7 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
         httpd.shutdown()
 
     floor = _relay_floor_ms()
+    h2d = _h2d_ms_per_frame(frame_hw)
     return {
         "methodology": (
             "B concurrent POST /control (multipart 1080p PNG + scenario "
@@ -171,6 +207,7 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
         "frame": list(frame_hw), "window_ms": window_ms,
         "budget_ms": round(budget_ms, 2),
         "relay_floor_ms_jit_x_plus_1": round(floor, 2),
+        "relay_h2d_ms_per_frame": round(h2d, 2),
         "rows": rows,
     }
 
