@@ -189,6 +189,37 @@ def edge_cost_pyramid(pyramid, p: jax.Array, height: int,
     return total / len(pyramid)
 
 
+def edge_cost_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
+                         height: int, width: int,
+                         scales=PYRAMID_SCALES) -> jax.Array:
+    """Lanes-layout twin of ``edge_cost_pyramid``: coordinates arrive as
+    separate x / y arrays of shape (K, m, *B) — the solver's split-state
+    lanes layout sliced in half, feature axis at position 1, batch dims
+    trailing — instead of interleaved (..., m, 2) points.
+
+    Same math, same separable gather-free sampling; the difference is
+    PURELY layout: the sweep backend samples straight off its
+    lanes-resident trajectories without the (B, K, n) unlanes/relanes
+    transposes that the batch-ceiling study measured as the growing glue
+    cost (docs/DESIGN.md §2g). Returns (K, *B) per-state costs (mean
+    over levels and features). Equivalence vs ``edge_cost_pyramid`` is
+    tested (tests/test_mpc.py)."""
+    xp = (x + 1.0) * 0.5 * (width - 1)
+    yp = (y + 1.0) * 0.5 * (height - 1)
+    total = 0.0
+    for level, s in zip(pyramid, scales):
+        hf, wf = level.shape
+        xl = jnp.clip((xp - (s - 1) / 2.0) / s, 0.0, float(wf - 1))
+        yl = jnp.clip((yp - (s - 1) / 2.0) / s, 0.0, float(hf - 1))
+        gx = jnp.arange(wf, dtype=level.dtype)
+        gy = jnp.arange(hf, dtype=level.dtype)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xl[..., None] - gx))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yl[..., None] - gy))
+        e = jnp.einsum("...i,ij,...j->...", wy, level, wx) / 255.0
+        total = total + (1.0 - e)
+    return jnp.mean(total, axis=1) / len(pyramid)
+
+
 def make_stage_cost(pyramid, shape: tuple[int, int], target: jax.Array,
                     q_track: float, r_ctrl: float, q_edge: float):
     """Build l(p, u) for one scenario over a precomputed cost pyramid.

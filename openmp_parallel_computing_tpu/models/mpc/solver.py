@@ -427,173 +427,246 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
     )
 
 
+class _SweepLanes:
+    """Lanes-layout machinery for the sweep backend, built once per trace.
+
+    Holds the batch-layout choice (lane-only or sublane-packed) with the
+    ``lanes``/``unlanes`` converters, and exposes the whole ADMM+iLQR
+    solve as :meth:`solve` operating PURELY in lanes layout — so callers
+    that live in lanes land (``receding_horizon``'s scan carry) never
+    pay the (B, K, n) transposes per step. ``_solve_batch_sweep`` is the
+    thin interleaved-API wrapper. The round-3 ceiling study measured
+    those transposes as the growing glue cost at large batches
+    (docs/DESIGN.md §2g)."""
+
+    def __init__(self, pyramid, shape, cfg: MPCConfig, B: int):
+        from openmp_parallel_computing_tpu.models.mpc import (
+            sweep_pallas as sp)
+
+        self.sp = sp
+        self.pyramid = pyramid
+        self.shape = shape
+        self.cfg = cfg
+        self.B = B
+        self.h = cfg.horizon
+        self.m = cfg.num_features
+        self.n = 2 * self.m
+        self.cdim = dynamics.CONTROL_DIM
+        self.qe = cfg.q_edge
+        # Layout choice: sublane-packed (s, 128) tiles vs lane-only; pick
+        # the factor minimizing padded-work / measured speed.
+        pack = _choose_pack(B)
+        tile = pack * sp.LANE
+        self.Bp = -(-B // tile) * tile
+        self.bshape = ((self.Bp // sp.LANE, sp.LANE) if pack > 1
+                       else (self.Bp,))
+        self.pack = 0 if pack == 1 else pack
+        self.kw = dict(m=self.m, q=cfg.q_track, r=cfg.r_ctrl, rho=cfg.rho,
+                       qe=self.qe, dt=cfg.dt, pack=self.pack)
+        # One-launch kernel admission: use each fused kernel whenever its
+        # per-grid-TILE VMEM footprint fits (1024 scenarios packed, 128
+        # unpacked — NOT per batch). Estimates in ``sweep_vmem_estimates``,
+        # cross-checked against the kernels' actual scratch_shapes by
+        # tests/test_sweep_paths.py::TestScratchEstimates.
+        A = len(sp.ALPHAS)
+        est = sweep_vmem_estimates(self.h, self.n, self.cdim, A, tile)
+        self.use_unified = est["unified"] < 10 * 1024 * 1024
+        self.use_multi = (cfg.edge_refresh in ("admm", "solve")
+                          and est["multi"] < 10 * 1024 * 1024)
+        self.use_full = (_FULL_SOLVE and cfg.edge_refresh == "solve"
+                         and est["full"] < 10 * 1024 * 1024)
+
+    # -- layout ------------------------------------------------------------
+
+    def lanes(self, a, ndim):
+        perm = tuple(range(1, ndim)) + (0,)
+        a = jnp.transpose(a, perm)
+        a = jnp.pad(a, [(0, 0)] * (ndim - 1) + [(0, self.Bp - self.B)])
+        return a.reshape(a.shape[:-1] + self.bshape)
+
+    def unlanes(self, a_l, lead_dims):
+        """(**lead, *bshape) -> (B, **lead)."""
+        a = a_l.reshape(a_l.shape[:lead_dims] + (self.Bp,))
+        perm = (lead_dims,) + tuple(range(lead_dims))
+        return jnp.transpose(a, perm)[:self.B]
+
+    def lanes_scenario(self, scen: Scenario):
+        """Scenario -> (p0_l, target_l, izd_l, us_l), split order."""
+        p0_l = self.lanes(_to_split(scen.p0), 2)
+        target_l = self.lanes(_to_split(scen.target), 2)
+        izd = 1.0 / scen.depth             # padding lanes get depth 1.0
+        izd = jnp.pad(jnp.transpose(izd, (1, 0)),
+                      ((0, 0), (0, self.Bp - self.B)), constant_values=1.0)
+        izd_l = izd.reshape(izd.shape[:-1] + self.bshape)
+        us_l = self.lanes(scen.us0, 3)     # (h, c, *bshape)
+        return p0_l, target_l, izd_l, us_l
+
+    def _vec(self, a_l):
+        """Per-lane reduction result (*bshape) -> (B,)."""
+        return a_l.reshape(self.Bp)[:self.B]
+
+    # -- edge term ----------------------------------------------------------
+
+    def edge_vals(self, ps_l):
+        """Pyramid edge cost at a lanes-land trajectory -> (h+1, *bshape),
+        sampled straight off the split layout (no transposes). Batched
+        pyramids (serving multi-frame, single-digit batches) go through
+        the interleaved sampler and back."""
+        m = self.m
+        if _pyramid_batched(self.pyramid):
+            ps_b = _from_split(self.unlanes(ps_l, 2))       # (B, h+1, n)
+            v = _edge_val_batch(self.pyramid, ps_b, self.shape)  # (B, h+1)
+            v_l = jnp.pad(jnp.transpose(v, (1, 0)),
+                          ((0, 0), (0, self.Bp - self.B)))
+            return v_l.reshape(v_l.shape[:-1] + self.bshape)
+        return costs.edge_cost_pyramid_xy(
+            self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape)
+
+    def edge_grads(self, ps_l):
+        """d(edge cost summed over the trajectory)/d ps_l, lanes layout.
+
+        Lanes are independent scenarios, so grad-of-sum gives per-lane
+        gradients; padding lanes get real (finite, discarded) gradients
+        where the old unlanes round trip zero-padded them. Batched
+        pyramids (serving multi-frame) fall back to the interleaved
+        sampler — micro-batches are single digits, layout cost is nil."""
+        if not self.qe:
+            return jnp.zeros((self.h + 1, self.n) + self.bshape,
+                             jnp.float32)
+        if _pyramid_batched(self.pyramid):
+            ps_b = _from_split(self.unlanes(ps_l, 2))      # (B, h+1, n)
+            _, g = _edge_vg_batch(self.pyramid, ps_b, self.shape)
+            g = _to_split(g)
+            g_l = jnp.pad(jnp.transpose(g, (1, 2, 0)),
+                          ((0, 0), (0, 0), (0, self.Bp - self.B)))
+            return g_l.reshape(g_l.shape[:-1] + self.bshape)
+        return jax.grad(lambda ps: jnp.sum(self.edge_vals(ps)))(ps_l)
+
+    # -- solve ---------------------------------------------------------------
+
+    def solve(self, p0_l, target_l, izd_l, us_l):
+        """Full ADMM+iLQR solve in lanes layout.
+
+        Returns ``(z_l, ps_final_l, resid_l)``: the projected feasible
+        controls (h, c, *bshape), their true rollout (h+1, n, *bshape),
+        and the per-lane primal residual (*bshape)."""
+        sp, cfg, kw = self.sp, self.cfg, self.kw
+        h, n, cdim, bshape = self.h, self.n, self.cdim, self.bshape
+
+        zeros_g = jnp.zeros((h + 1, n) + bshape, jnp.float32)
+        zero_gains = (jnp.zeros((h, cdim, n) + bshape, jnp.float32),
+                      jnp.zeros((h, cdim) + bshape, jnp.float32))
+
+        def rollout_nominal(us_l, z_l, y_l):
+            """Initial nominal trajectory via the forward kernel with zero
+            gains (every candidate collapses to the nominal)."""
+            ps0 = jnp.zeros((h + 1, n) + bshape, jnp.float32)
+            ps_c, _, _ = sp.forward_sweep(p0_l, ps0, us_l, *zero_gains,
+                                          z_l, y_l, zeros_g, target_l,
+                                          izd_l, **kw)
+            return ps_c[:, 0]                       # (h+1, n, *bshape)
+
+        def pick(J, cand, a_axis):
+            return _pick_candidates(J, cand, a_axis, len(bshape))
+
+        def ilqr_once(carry, g_fix=None):
+            us_l, ps_l, z_l, y_l = carry
+            g_l = g_fix if g_fix is not None else self.edge_grads(ps_l)
+            if self.use_unified:
+                ps_c, us_c, J = sp.unified_sweep(p0_l, ps_l, us_l, z_l,
+                                                 y_l, g_l, target_l,
+                                                 izd_l, **kw)
+            else:
+                K, kff = sp.backward_sweep(ps_l, us_l, z_l, y_l, g_l,
+                                           target_l, izd_l, **kw)
+                ps_c, us_c, J = sp.forward_sweep(p0_l, ps_l, us_l, K, kff,
+                                                 z_l, y_l, g_l, target_l,
+                                                 izd_l, **kw)
+            us_new = pick(J, us_c, 1)               # (h, c, *bshape)
+            ps_new = pick(J, ps_c, 1)               # (h+1, n, *bshape)
+            return us_new, ps_new
+
+        def admm_body(carry, _):
+            us_l, ps_l, z_l, y_l, g_solve = carry
+            # edge_refresh="admm": linearize the edge term once here and
+            # share it across the iLQR sweeps (constant shift in the
+            # line-search comparisons — argmin unaffected; see
+            # config.MPCConfig). "solve": the warm-start linearization
+            # rides the carry.
+            g_fix = (self.edge_grads(ps_l) if cfg.edge_refresh == "admm"
+                     else g_solve)
+
+            if self.use_multi:
+                # All iLQR sweeps of this ADMM iteration in ONE kernel
+                # launch (equivalence-tested against the per-sweep path).
+                ps_l, us_l = sp.multi_sweep(p0_l, ps_l, us_l, z_l, y_l,
+                                            g_fix, target_l, izd_l,
+                                            sweeps=cfg.ilqr_iters, **kw)
+            else:
+                def inner(_, c2):
+                    us2, ps2 = ilqr_once((c2[0], c2[1], z_l, y_l), g_fix)
+                    return (us2, ps2)
+
+                us_l, ps_l = jax.lax.fori_loop(0, cfg.ilqr_iters, inner,
+                                               (us_l, ps_l))
+            # Over-relaxation (off at 1.0; see _solve_single.admm_body).
+            uh_l = (us_l if cfg.admm_relax == 1.0
+                    else cfg.admm_relax * us_l
+                    + (1.0 - cfg.admm_relax) * z_l)
+            z_l = jnp.clip(uh_l + y_l, -cfg.u_limit, cfg.u_limit)
+            y_l = y_l + uh_l - z_l
+            return (us_l, ps_l, z_l, y_l, g_solve), None
+
+        z0 = jnp.clip(us_l, -cfg.u_limit, cfg.u_limit)
+        y0 = jnp.zeros_like(us_l)
+        ps_l = rollout_nominal(us_l, z0, y0)
+        g_solve0 = (self.edge_grads(ps_l)
+                    if cfg.edge_refresh == "solve" else None)
+        if self.use_full:
+            # Entire ADMM loop + final feasible rollout in ONE kernel
+            # launch (equivalence-tested against the scan path below).
+            ps_final_l, z_l, us_l = sp.full_solve(
+                p0_l, ps_l, us_l, g_solve0, target_l, izd_l,
+                sweeps=cfg.ilqr_iters, admm_iters=cfg.admm_iters,
+                u_limit=cfg.u_limit, relax=cfg.admm_relax, **kw)
+        else:
+            (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
+                admm_body, (us_l, ps_l, z0, y0, g_solve0), None,
+                length=cfg.admm_iters)
+
+            # Final feasible controls + their true trajectory/cost.
+            ps_final_l = rollout_nominal(z_l, z_l, y_l)
+        resid_l = jnp.max(jnp.abs(us_l - z_l), axis=(0, 1))
+        return z_l, ps_final_l, resid_l
+
+    def final_cost(self, z_l, ps_final_l, target_l):
+        """Unaugmented trajectory cost, reduced per lane -> (B,)."""
+        cfg = self.cfg
+        track = cfg.q_track * jnp.sum((ps_final_l - target_l[None]) ** 2,
+                                      axis=(0, 1))
+        ctrl = cfg.r_ctrl * jnp.sum(z_l ** 2, axis=(0, 1))
+        if self.qe:
+            edge_total = self.qe * jnp.sum(self.edge_vals(ps_final_l),
+                                           axis=0)
+        else:
+            edge_total = jnp.zeros(self.bshape, jnp.float32)
+        return self._vec(track + ctrl + edge_total)
+
+
 def _solve_batch_sweep(pyramid, shape, scen: Scenario,
                        cfg: MPCConfig) -> Solution:
     """Whole-sweep fused solve: two Pallas launches per iLQR sweep
     (``sweep_pallas``), solver state kept in lanes layout across the whole
     ADMM loop. Same math as the other backends (equivalence-tested)."""
-    from openmp_parallel_computing_tpu.models.mpc import sweep_pallas as sp
-
-    B, h = scen.us0.shape[0], cfg.horizon
-    m = cfg.num_features
-    n = 2 * m
-    cdim = dynamics.CONTROL_DIM
-    q, r, rho, qe = cfg.q_track, cfg.r_ctrl, cfg.rho, cfg.q_edge
-    # Layout choice: sublane-packed (s, 128) tiles run up to ~1.25x faster
-    # per padded scenario than lane-only (128); pick the factor minimizing
-    # padded-work / measured speed (_choose_pack).
-    pack = _choose_pack(B)
-    tile = pack * sp.LANE
-    Bp = -(-B // tile) * tile
-    bshape = (Bp // sp.LANE, sp.LANE) if pack > 1 else (Bp,)
-    pack = 0 if pack == 1 else pack
-
-    def lanes(a, ndim):
-        perm = tuple(range(1, ndim)) + (0,)
-        a = jnp.transpose(a, perm)
-        a = jnp.pad(a, [(0, 0)] * (ndim - 1) + [(0, Bp - B)])
-        return a.reshape(a.shape[:-1] + bshape)
-
-    def unlanes(a_l, lead_dims):
-        """(**lead, *bshape) -> (B, **lead)."""
-        a = a_l.reshape(a_l.shape[:lead_dims] + (Bp,))
-        perm = (lead_dims,) + tuple(range(lead_dims))
-        return jnp.transpose(a, perm)[:B]
-
-    # State-axis arrays enter lanes land in the kernels' split order.
-    p0_l = lanes(_to_split(scen.p0), 2)    # (n, *bshape)
-    target_l = lanes(_to_split(scen.target), 2)
-    izd = 1.0 / scen.depth                 # padding lanes get depth 1.0
-    izd = jnp.pad(jnp.transpose(izd, (1, 0)), ((0, 0), (0, Bp - B)),
-                  constant_values=1.0)
-    izd_l = izd.reshape(izd.shape[:-1] + bshape)
-    us_l = lanes(scen.us0, 3)              # (h, c, *bshape)
-
-    kw = dict(m=m, q=q, r=r, rho=rho, qe=qe, dt=cfg.dt, pack=pack)
-
-    def edge_grads(ps_l):
-        """Pyramid value+grad at the nominal trajectory -> lanes layout.
-
-        The pyramid sampler works in the public interleaved state order;
-        the lanes-land trajectory is split-ordered, so permute on the way
-        out and back."""
-        if not qe:
-            return (None, jnp.zeros((h + 1, n) + bshape, jnp.float32))
-        ps_b = _from_split(unlanes(ps_l, 2))        # (B, h+1, n)
-        _, g = _edge_vg_batch(pyramid, ps_b, shape)
-        g = _to_split(g)
-        g_l = jnp.pad(jnp.transpose(g, (1, 2, 0)),
-                      ((0, 0), (0, 0), (0, Bp - B)))
-        return None, g_l.reshape(g_l.shape[:-1] + bshape)
-
-    zeros_g = jnp.zeros((h + 1, n) + bshape, jnp.float32)
-    zero_gains = (jnp.zeros((h, cdim, n) + bshape, jnp.float32),
-                  jnp.zeros((h, cdim) + bshape, jnp.float32))
-
-    def rollout_nominal(us_l, z_l, y_l):
-        """Initial nominal trajectory via the forward kernel with zero
-        gains (every candidate collapses to the nominal)."""
-        ps0 = jnp.zeros((h + 1, n) + bshape, jnp.float32)
-        ps_c, _, _ = sp.forward_sweep(p0_l, ps0, us_l, *zero_gains, z_l,
-                                      y_l, zeros_g, target_l, izd_l, **kw)
-        return ps_c[:, 0]                           # (h+1, n, *bshape)
-
-    def pick(J, cand, a_axis):
-        return _pick_candidates(J, cand, a_axis, len(bshape))
-
-    # One-launch kernel admission: use each fused kernel whenever its
-    # per-grid-TILE VMEM footprint fits (1024 scenarios packed, 128
-    # unpacked — NOT per batch). Estimates in ``sweep_vmem_estimates``,
-    # cross-checked against the kernels' actual scratch_shapes by
-    # tests/test_sweep_paths.py::TestScratchEstimates.
-    A = len(sp.ALPHAS)
-    est = sweep_vmem_estimates(h, n, cdim, A, tile)
-    use_unified = est["unified"] < 10 * 1024 * 1024
-    use_multi = (cfg.edge_refresh in ("admm", "solve")
-                 and est["multi"] < 10 * 1024 * 1024)
-    use_full = (_FULL_SOLVE and cfg.edge_refresh == "solve"
-                and est["full"] < 10 * 1024 * 1024)
-
-    def ilqr_once(carry, g_fix=None):
-        us_l, ps_l, z_l, y_l = carry
-        g_l = g_fix if g_fix is not None else edge_grads(ps_l)[1]
-        if use_unified:
-            ps_c, us_c, J = sp.unified_sweep(p0_l, ps_l, us_l, z_l, y_l,
-                                             g_l, target_l, izd_l, **kw)
-        else:
-            K, kff = sp.backward_sweep(ps_l, us_l, z_l, y_l, g_l, target_l,
-                                       izd_l, **kw)
-            ps_c, us_c, J = sp.forward_sweep(p0_l, ps_l, us_l, K, kff, z_l,
-                                             y_l, g_l, target_l, izd_l,
-                                             **kw)
-        us_new = pick(J, us_c, 1)                   # (h, c, *bshape)
-        ps_new = pick(J, ps_c, 1)                   # (h+1, n, *bshape)
-        return us_new, ps_new
-
-    def admm_body(carry, _):
-        us_l, ps_l, z_l, y_l, g_solve = carry
-        # edge_refresh="admm": linearize the edge term once here and share
-        # it across the iLQR sweeps (constant shift in the line-search
-        # comparisons — argmin unaffected; see config.MPCConfig).
-        # "solve": the warm-start linearization rides the carry.
-        g_fix = (edge_grads(ps_l)[1] if cfg.edge_refresh == "admm"
-                 else g_solve)
-
-        if use_multi:
-            # All iLQR sweeps of this ADMM iteration in ONE kernel launch
-            # (equivalence-tested against the per-sweep path below).
-            ps_l, us_l = sp.multi_sweep(p0_l, ps_l, us_l, z_l, y_l, g_fix,
-                                        target_l, izd_l,
-                                        sweeps=cfg.ilqr_iters, **kw)
-        else:
-            def inner(_, c2):
-                us2, ps2 = ilqr_once((c2[0], c2[1], z_l, y_l), g_fix)
-                return (us2, ps2)
-
-            us_l, ps_l = jax.lax.fori_loop(0, cfg.ilqr_iters, inner,
-                                           (us_l, ps_l))
-        # Over-relaxation (off at 1.0; see _solve_single.admm_body).
-        uh_l = (us_l if cfg.admm_relax == 1.0
-                else cfg.admm_relax * us_l
-                + (1.0 - cfg.admm_relax) * z_l)
-        z_l = jnp.clip(uh_l + y_l, -cfg.u_limit, cfg.u_limit)
-        y_l = y_l + uh_l - z_l
-        return (us_l, ps_l, z_l, y_l, g_solve), None
-
-    z0 = jnp.clip(us_l, -cfg.u_limit, cfg.u_limit)
-    y0 = jnp.zeros_like(us_l)
-    ps_l = rollout_nominal(us_l, z0, y0)
-    g_solve0 = (edge_grads(ps_l)[1]
-                if cfg.edge_refresh == "solve" else None)
-    if use_full:
-        # Entire ADMM loop + final feasible rollout in ONE kernel launch
-        # (equivalence-tested against the scan path below).
-        ps_final_l, z_l, us_l = sp.full_solve(
-            p0_l, ps_l, us_l, g_solve0, target_l, izd_l,
-            sweeps=cfg.ilqr_iters, admm_iters=cfg.admm_iters,
-            u_limit=cfg.u_limit, relax=cfg.admm_relax, **kw)
-    else:
-        (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
-            admm_body, (us_l, ps_l, z0, y0, g_solve0), None,
-            length=cfg.admm_iters)
-
-        # Final feasible controls + their true trajectory/cost.
-        ps_final_l = rollout_nominal(z_l, z_l, y_l)
-    us = unlanes(z_l, 2)
-    ps = _from_split(unlanes(ps_final_l, 2))
-    track = q * jnp.sum((ps - scen.target[:, None]) ** 2, axis=(1, 2))
-    ctrl = r * jnp.sum(us ** 2, axis=(1, 2))
-    if qe:
-        edge_total = qe * jnp.sum(_edge_val_batch(pyramid, ps, shape),
-                                  axis=1)
-    else:
-        edge_total = jnp.zeros(B, jnp.float32)
+    B = scen.us0.shape[0]
+    sw = _SweepLanes(pyramid, shape, cfg, B)
+    p0_l, target_l, izd_l, us_l = sw.lanes_scenario(scen)
+    z_l, ps_final_l, resid_l = sw.solve(p0_l, target_l, izd_l, us_l)
     return Solution(
-        us=us,
-        ps=ps,
-        cost=track + ctrl + edge_total,
-        primal_residual=jnp.max(jnp.abs(unlanes(us_l - z_l, 2)),
-                                axis=(1, 2)),
+        us=sw.unlanes(z_l, 2),
+        ps=_from_split(sw.unlanes(ps_final_l, 2)),
+        cost=sw.final_cost(z_l, ps_final_l, target_l),
+        primal_residual=sw._vec(resid_l),
     )
 
 
@@ -718,6 +791,9 @@ class VisualServoMPC:
         """
         pyramid = costs.build_cost_pyramid_from_frame(frame)
         shape = frame.shape[1:]
+        if self.cfg.backend == "sweep":
+            return self._receding_lanes(lambda i: pyramid, shape, scen,
+                                        n_frames)
         dt = self.cfg.dt
 
         def body(s, _):
@@ -730,6 +806,51 @@ class VisualServoMPC:
 
         scen_out, (u0s, cost_seq) = jax.lax.scan(
             body, scen, None, length=n_frames)
+        return u0s, cost_seq, scen_out
+
+    def _receding_lanes(self, pyramid_at, shape, scen: Scenario,
+                        n_steps: int):
+        """Sweep-backend receding-horizon loop with a LANES-RESIDENT scan
+        carry: the scenario state (p0, warm-start plan) stays in the
+        kernels' split/lanes layout across control steps, so the per-step
+        (B, K, n) transposes of the interleaved API — measured as the
+        growing glue cost at large batches (docs/DESIGN.md §2g) — never
+        run inside the loop. The true-dynamics update reuses the kernels'
+        own split-layout ``_dyn_step`` (bit-identical model); outputs are
+        stacked in lanes and converted ONCE after the scan.
+
+        ``pyramid_at(step_index)`` returns the cost pyramid for a step —
+        a constant closure for the fixed-frame loop, a per-step frame
+        slice + rebuild for the frame-ring loop."""
+        from openmp_parallel_computing_tpu.models.mpc import (
+            sweep_pallas as sp)
+
+        cfg = self.cfg
+        B = scen.us0.shape[0]
+        dt = cfg.dt
+        # Layout-only context (the pyramid is per-step inside the scan).
+        sw0 = _SweepLanes(None, shape, cfg, B)
+        p0_l, target_l, izd_l, us_l = sw0.lanes_scenario(scen)
+
+        def body(carry, idx):
+            p0_l, us_l = carry
+            sw = _SweepLanes(pyramid_at(idx), shape, cfg, B)
+            z_l, ps_final_l, _ = sw.solve(p0_l, target_l, izd_l, us_l)
+            cost = sw.final_cost(z_l, ps_final_l, target_l)
+            u0_l = z_l[0]                           # (c, *bshape)
+            p1_l = sp._dyn_step(p0_l, u0_l, izd_l, dt, sw.m)
+            return (p1_l, jnp.roll(z_l, -1, axis=0)), (u0_l, cost)
+
+        idxs = jnp.arange(n_steps, dtype=jnp.int32)
+        (p0_l, us_l), (u0s_l, cost_seq) = jax.lax.scan(
+            body, (p0_l, us_l), idxs)
+        # One layout conversion per WINDOW (not per step): stacked
+        # (T, c, *bshape) -> (T, B, c); scenario back to the public layout.
+        u0s = jnp.transpose(
+            u0s_l.reshape(u0s_l.shape[:2] + (sw0.Bp,)), (0, 2, 1))[:, :B]
+        scen_out = scen._replace(
+            p0=_from_split(sw0.unlanes(p0_l, 1)),
+            us0=sw0.unlanes(us_l, 2))
         return u0s, cost_seq, scen_out
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -759,10 +880,16 @@ class VisualServoMPC:
         shape = frames.shape[2:]
         dt = self.cfg.dt
 
+        def pyramid_at(idx):
+            frame = jax.lax.dynamic_index_in_dim(frames, idx % n_ring,
+                                                 axis=0, keepdims=False)
+            return costs.build_cost_pyramid_from_frame(frame)
+
+        if self.cfg.backend == "sweep":
+            return self._receding_lanes(pyramid_at, shape, scen, n_steps)
+
         def body(s, idx):
-            frame = jax.lax.dynamic_index_in_dim(frames, idx, axis=0,
-                                                 keepdims=False)
-            pyramid = costs.build_cost_pyramid_from_frame(frame)
+            pyramid = pyramid_at(idx)
             sol = self._solve_pyramid(pyramid, shape, s)
             u0 = sol.us[:, 0]
             p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
@@ -770,7 +897,7 @@ class VisualServoMPC:
             s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
             return s, (u0, sol.cost)
 
-        idxs = jnp.arange(n_steps, dtype=jnp.int32) % n_ring
+        idxs = jnp.arange(n_steps, dtype=jnp.int32)
         scen_out, (u0s, cost_seq) = jax.lax.scan(body, scen, idxs)
         return u0s, cost_seq, scen_out
 

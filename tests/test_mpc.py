@@ -78,6 +78,52 @@ class TestBilinear:
         assert np.abs(np.asarray(g)).sum() > 0
 
 
+class TestEdgeCostPyramidXY:
+    """The lanes-layout sampler twin must match the interleaved one —
+    values AND gradients — since the sweep backend now samples straight
+    off split-layout lanes trajectories (solver._SweepLanes.edge_grads)."""
+
+    def _pyramid(self, rng):
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        return costs.build_cost_pyramid(edge), (64, 128)
+
+    def test_values_match_interleaved(self):
+        rng = np.random.default_rng(7)
+        pyramid, (hh, ww) = self._pyramid(rng)
+        K, m, B = 5, 4, 9
+        # interleaved points (B, K, 2m) vs lanes split (K, n, B)
+        ps = jnp.asarray(rng.uniform(-1.2, 1.2, (B, K, 2 * m)), jnp.float32)
+        ref = jax.vmap(jax.vmap(
+            lambda p: costs.edge_cost_pyramid(pyramid, p, hh, ww)))(ps)
+        pts = ps.reshape(B, K, m, 2)
+        x = jnp.transpose(pts[..., 0], (1, 2, 0))      # (K, m, B)
+        y = jnp.transpose(pts[..., 1], (1, 2, 0))
+        got = costs.edge_cost_pyramid_xy(pyramid, x, y, hh, ww)  # (K, B)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(ref.T), rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_autodiff_of_interleaved(self):
+        rng = np.random.default_rng(8)
+        pyramid, (hh, ww) = self._pyramid(rng)
+        K, m, B = 4, 4, 6
+        ps = jnp.asarray(rng.uniform(-1.1, 1.1, (B, K, 2 * m)), jnp.float32)
+        _, g_ref = jax.vmap(jax.vmap(jax.value_and_grad(
+            lambda p: costs.edge_cost_pyramid(pyramid, p, hh, ww))))(ps)
+        # lanes split layout: (K, n, B) with [x..., y...] state order
+        pts = ps.reshape(B, K, m, 2)
+        ps_l = jnp.concatenate([
+            jnp.transpose(pts[..., 0], (1, 2, 0)),
+            jnp.transpose(pts[..., 1], (1, 2, 0))], axis=1)  # (K, n, B)
+        g_l = jax.grad(lambda q: jnp.sum(costs.edge_cost_pyramid_xy(
+            pyramid, q[:, :m], q[:, m:], hh, ww)))(ps_l)
+        # back to interleaved (B, K, 2m)
+        g_split = jnp.transpose(g_l, (2, 0, 1))            # (B, K, n)
+        g_got = jnp.stack([g_split[..., :m], g_split[..., m:]],
+                          axis=-1).reshape(B, K, 2 * m)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestRiccatiLQR:
     def test_matches_analytic_single_step(self):
         """H=1 LQR: u* = -(R + B'QB)^-1 B'Q A x0."""
