@@ -65,9 +65,10 @@ def _device_table(trace_path: str) -> dict:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         n = e.get("name", "")
-        # containers wrap the leaf ops; don't double count
+        # containers wrap the leaf ops; don't double count (bare-numeric
+        # names are XLA's anonymous top-level containers)
         if n.startswith(("jit_", "PjitFunction", "while.", "body.",
-                         "condition.")):
+                         "condition.")) or re.fullmatch(r"\d+", n):
             continue
         base = re.sub(r"\.\d+$", "", n)
         if "fusion" in base:

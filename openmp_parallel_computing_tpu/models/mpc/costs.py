@@ -54,13 +54,49 @@ def separable_sample(field: jax.Array, xy: jax.Array) -> jax.Array:
     clamped to the border.
     """
     hf, wf = field.shape
-    x = jnp.clip(xy[..., 0], 0.0, float(wf - 1))
-    y = jnp.clip(xy[..., 1], 0.0, float(hf - 1))
-    gx = jnp.arange(wf, dtype=field.dtype)
-    gy = jnp.arange(hf, dtype=field.dtype)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - gx))   # (..., Wf)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - gy))   # (..., Hf)
+    x = _clip_coord(xy[..., 0], float(wf - 1))
+    y = _clip_coord(xy[..., 1], float(hf - 1))
+    wx = _hat_weights(x, wf)                                  # (..., Wf)
+    wy = _hat_weights(y, hf)                                  # (..., Hf)
     return jnp.einsum("...i,ij,...j->...", wy, field, wx)
+
+
+def _clip_coord(x: jax.Array, hi: float) -> jax.Array:
+    """clip(x, 0, hi) whose gradient is 1 ON the border, 0 strictly
+    outside (``jnp.clip``'s min/max tie convention passes only half the
+    cotangent at an exactly-boundary coordinate — and border-clamped
+    points are the common case for off-frame features)."""
+    return jnp.where(x < 0.0, 0.0, jnp.where(x > hi, hi, x))
+
+
+def _hat_weights(xl: jax.Array, size: int) -> jax.Array:
+    """Dense bilinear weights over a grid axis, (...,) -> (..., size).
+
+    Built as the one-hot PAIR ``(j == x0)·(1-fx) + (j == x0+1)·fx`` with
+    ``x0 = clip(floor(xl), 0, size-2)`` rather than the hat form
+    ``maximum(0, 1-|xl-j|)``. The values are identical (the two active
+    columns get exactly 1-fx / fx, the rest exactly 0), but the autodiff
+    differs where it matters: the max/abs form is garbage whenever a
+    sample lands on an exact integer coordinate — which every
+    border-CLAMPED point does — because ``abs``'s tie convention
+    (abs'(0) = +1) differentiates the center weight to -1 while the
+    neighbor's support boundary contributes 0, so kink terms that must
+    cancel in the summed interpolant don't: the measured gradient was
+    -42.6 where the true one-sided derivative is 1.0 (a full weighted
+    field row leaking in). Here ``floor`` carries zero gradient, so
+    d(weights)/dxl is exactly ``-(j==x0) + (j==x0+1)`` and the summed
+    interpolation gradient is the true one-sided derivative at every
+    kink — right-hand in the interior, left-hand at the top border
+    (x0 clamps to size-2 there). Regression-tested in
+    tests/test_mpc.py::TestHatWeightGradients."""
+    if size == 1:
+        # degenerate single-cell axis: constant weight, zero gradient
+        return jnp.ones(xl.shape + (1,), xl.dtype) + 0.0 * xl[..., None]
+    grid = jnp.arange(size, dtype=xl.dtype)
+    x0 = jnp.clip(jnp.floor(xl), 0.0, float(size - 2))[..., None]
+    fx = xl[..., None] - x0
+    return (jnp.where(grid == x0, 1.0 - fx, 0.0)
+            + jnp.where(grid == x0 + 1.0, fx, 0.0))
 
 
 def normalized_to_pixels(p: jax.Array, height: int, width: int) -> jax.Array:
@@ -209,12 +245,10 @@ def edge_cost_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
     total = 0.0
     for level, s in zip(pyramid, scales):
         hf, wf = level.shape
-        xl = jnp.clip((xp - (s - 1) / 2.0) / s, 0.0, float(wf - 1))
-        yl = jnp.clip((yp - (s - 1) / 2.0) / s, 0.0, float(hf - 1))
-        gx = jnp.arange(wf, dtype=level.dtype)
-        gy = jnp.arange(hf, dtype=level.dtype)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xl[..., None] - gx))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yl[..., None] - gy))
+        xl = _clip_coord((xp - (s - 1) / 2.0) / s, float(wf - 1))
+        yl = _clip_coord((yp - (s - 1) / 2.0) / s, float(hf - 1))
+        wx = _hat_weights(xl, wf)
+        wy = _hat_weights(yl, hf)
         e = jnp.einsum("...i,ij,...j->...", wy, level, wx) / 255.0
         total = total + (1.0 - e)
     return jnp.mean(total, axis=1) / len(pyramid)

@@ -78,6 +78,49 @@ class TestBilinear:
         assert np.abs(np.asarray(g)).sum() > 0
 
 
+class TestHatWeightGradients:
+    """The hat weights must differentiate sanely at their kinks.
+
+    The old ``maximum(0, 1-|d|)`` form hit the max/abs tie-gradient
+    conventions whenever a sample landed on an exact integer grid
+    coordinate — which every border-CLAMPED point does — and leaked a
+    full weighted field row into the gradient (measured -42.6 where the
+    true one-sided derivative is 1.0). The one-hot-pair construction
+    (costs._hat_weights) yields the exact one-sided derivative at every
+    kink: right-hand in the interior, left-hand at the top border."""
+
+    def _sample_1d(self, field):
+        def f(x):
+            return costs.separable_sample(field,
+                                          jnp.stack([x, jnp.float32(3.3)]))
+        return jax.grad(f)
+
+    def test_exact_one_sided_at_integer_coords(self):
+        # linear field: every one-sided derivative is exactly 1
+        field = jnp.asarray(
+            np.arange(8 * 12, dtype=np.float32).reshape(8, 12))
+        g = self._sample_1d(field)
+        for x in (0.0, 3.0, 11.0):
+            np.testing.assert_allclose(float(g(jnp.float32(x))), 1.0,
+                                       rtol=1e-5, err_msg=str(x))
+
+    def test_zero_beyond_border(self):
+        field = jnp.asarray(
+            np.arange(8 * 12, dtype=np.float32).reshape(8, 12))
+        g = self._sample_1d(field)
+        for x in (-0.5, -3.0, 11.5, 40.0):
+            assert float(g(jnp.float32(x))) == 0.0, x
+
+    def test_exact_away_from_kinks(self):
+        field = jnp.asarray(
+            np.arange(8 * 12, dtype=np.float32).reshape(8, 12))
+        g = self._sample_1d(field)
+        # linear field: d/dx == 1 in the interior (off-integer)
+        for x in (0.25, 3.7, 10.5):
+            np.testing.assert_allclose(float(g(jnp.float32(x))), 1.0,
+                                       rtol=1e-5)
+
+
 class TestEdgeCostPyramidXY:
     """The lanes-layout sampler twin must match the interleaved one —
     values AND gradients — since the sweep backend now samples straight
