@@ -90,7 +90,7 @@ def kernel_chain(B: int, steps: int, h: int = 20, m: int = 8,
 
 
 def loop_throughput(B: int, steps: int, q_edge: float,
-                    trials: int = 3) -> list[float]:
+                    trials: int = 3, horizon: int = 20) -> list[float]:
     """receding_horizon window throughput (solves/s per trial)."""
     import jax
     import numpy as np
@@ -100,7 +100,7 @@ def loop_throughput(B: int, steps: int, q_edge: float,
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
-    cfg = MPCConfig(horizon=20, num_features=8, scenarios=B,
+    cfg = MPCConfig(horizon=horizon, num_features=8, scenarios=B,
                     edge_refresh="solve", q_edge=q_edge)
     mpc = VisualServoMPC(cfg)
     frame = load_headline_frame()
@@ -122,6 +122,7 @@ def main() -> None:
     ap.add_argument("--batches", default="1024,4096,16384")
     ap.add_argument("--solves", type=int, default=200_000,
                     help="solves per window (steps = solves/batch)")
+    ap.add_argument("--horizon", type=int, default=20)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -129,10 +130,11 @@ def main() -> None:
     rows = []
     for B in (int(x) for x in args.batches.split(",")):
         steps = max(8, args.solves // B)
-        full = loop_throughput(B, steps, 0.1, args.trials)
-        noedge = loop_throughput(B, steps, 0.0, args.trials)
+        full = loop_throughput(B, steps, 0.1, args.trials, args.horizon)
+        noedge = loop_throughput(B, steps, 0.0, args.trials, args.horizon)
         # 5 multi_sweep(sweeps=1) launches = one shipped-budget solve.
-        kern = kernel_chain(B, steps * 5, trials=args.trials)
+        kern = kernel_chain(B, steps * 5, h=args.horizon,
+                            trials=args.trials)
         f, ne = statistics.median(full), statistics.median(noedge)
         k = statistics.median(kern) / 5.0   # sweeps/s -> solve-equiv/s
         row = {
