@@ -46,12 +46,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SCENARIOS = 256
+# Headline batch: the throughput-optimal scenario count for one chip.
+# The per-step 1080p perception front-end is a fixed ~41 µs of device
+# time per control step regardless of batch (trace_r3b.json), so chip
+# throughput rises with batch until the solver's own glue growth takes
+# over — measured optimum ~4096 (785.7k at 2048 / 801.5k at 4096 /
+# declining beyond per ceiling_probe_r3b's falloff). 256 is kept as a
+# labeled continuity row (the batch rounds 1-3a reported).
+SCENARIOS = 4096
+SCENARIOS_SMALL = 256
 # Window length: long enough that the relay's fixed ~35 ms final-fetch RTT
-# is <10% of the window wall (at ~1 ms device time per 256-scenario
-# perception+solve step). On production TPU runtimes there is no relay and
-# the fetch is ~µs.
-STEPS = 800
+# is <5% of the window wall. On production TPU runtimes there is no relay
+# and the fetch is ~µs.
+STEPS = 200
+STEPS_SMALL = 800
 RING = 8            # distinct 1080p frames cycled by the scan
 TRIALS = 5
 
@@ -81,32 +89,37 @@ def main() -> None:
     # the plain-ADMM 3x5 budget at a third of the sweeps
     # (results/cpu/relax_study_solve.json, docs/DESIGN.md §2f; gated by
     # tests/test_solver_quality.py at exactly these defaults).
-    cfg = MPCConfig(horizon=20, num_features=8, scenarios=SCENARIOS,
-                    edge_refresh="solve")
-    mpc = VisualServoMPC(cfg)
-
     frame = data.load_frame_planar()          # in-package 1080p fixture
     frames = jax.device_put(_frame_ring(frame, RING))
 
-    scen = mpc.random_scenarios(jax.random.PRNGKey(0), SCENARIOS)
-    scen = jax.tree.map(jax.device_put, scen)
+    def honest_loop(batch, steps):
+        """Median perception-honest throughput over TRIALS windows.
 
-    # --- headline: per-step perception over the frame ring ---------------
-    # Warm up (compile + honest sync: on relayed/async device backends
-    # ``block_until_ready`` can return before execution finishes, so the
-    # sync point fetches bytes of the final result — which depends on
-    # every step before it through the closed-loop carry).
-    u0s, _, scen = mpc.receding_horizon_frames(frames, scen, STEPS)
-    np.asarray(u0s[-1])
-
-    trials = []
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        u0s, _, scen = mpc.receding_horizon_frames(frames, scen, STEPS)
+        Warm up first (compile + honest sync: on relayed/async device
+        backends ``block_until_ready`` can return before execution
+        finishes, so the sync point fetches bytes of the final result —
+        which depends on every step before it through the closed-loop
+        carry)."""
+        cfg = MPCConfig(horizon=20, num_features=8, scenarios=batch,
+                        edge_refresh="solve")
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(0), batch)
+        scen = jax.tree.map(jax.device_put, scen)
+        u0s, _, scen = mpc.receding_horizon_frames(frames, scen, steps)
         np.asarray(u0s[-1])
-        trials.append(SCENARIOS * STEPS / (time.perf_counter() - t0))
-    assert np.all(np.isfinite(np.asarray(u0s[-1])))
-    headline = statistics.median(trials)
+        trials = []
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            u0s, _, scen = mpc.receding_horizon_frames(frames, scen, steps)
+            np.asarray(u0s[-1])
+            trials.append(batch * steps / (time.perf_counter() - t0))
+        assert np.all(np.isfinite(np.asarray(u0s[-1])))
+        return statistics.median(trials), trials, mpc, scen
+
+    # --- headline: per-step perception at the throughput-optimal batch ---
+    headline, trials, mpc, scen = honest_loop(SCENARIOS, STEPS)
+    # continuity row: the 256-scenario batch rounds 1-3a reported
+    small, small_trials, _, _ = honest_loop(SCENARIOS_SMALL, STEPS_SMALL)
 
     # --- solver-only ceiling: fixed frame, pyramid amortized -------------
     u0s, _, scen = mpc.receding_horizon(frames[0], scen, STEPS)
@@ -125,13 +138,18 @@ def main() -> None:
         "value": round(headline, 1),
         "unit": "solves/s",
         "vs_baseline": round(headline / 1000.0, 3),
+        "batch": SCENARIOS,
         "trials": [round(t, 1) for t in trials],
+        "value_256": round(small, 1),
+        "trials_256": [round(t, 1) for t in small_trials],
         "solver_only_ceiling": round(ceiling, 1),
         "ceiling_trials": [round(t, 1) for t in ceiling_trials],
         "perception_schedule": (
             f"full grayscale->Sobel->pyramid on a fresh 1080p frame EVERY "
-            f"control step (ring of {RING} distinct frames); ceiling row "
-            f"amortizes one pyramid per {STEPS}-step window"),
+            f"control step (ring of {RING} distinct frames); headline at "
+            f"the throughput-optimal {SCENARIOS}-scenario batch with the "
+            f"256-batch continuity row alongside; ceiling row amortizes "
+            f"one pyramid per {STEPS}-step window"),
     }))
 
 
