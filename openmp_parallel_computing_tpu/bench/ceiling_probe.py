@@ -161,7 +161,7 @@ def main() -> None:
         "pyramid-sampling glue (full - noedge)"), "rows": rows}
     if args.out:
         import os
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
 

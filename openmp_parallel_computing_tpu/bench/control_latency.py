@@ -131,7 +131,9 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
                               data=fields, timeout=600)
         except requests.ConnectionError:
             # One retry: a dropped handshake under heavy concurrent upload
-            # is transport noise, not a latency sample.
+            # is transport noise, not a latency sample — so the clock
+            # restarts too, or the failed attempt would still be counted.
+            t0 = time.perf_counter()
             r = requests.post(url, files={"image": ("f.png", png_bytes)},
                               data=fields, timeout=600)
         wall = time.perf_counter() - t0
@@ -226,7 +228,7 @@ def main() -> None:
                     num_features=args.features, budget_ms=args.budget_ms)
     if args.out:
         import os
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
     print(json.dumps({"relay_floor_ms": out["relay_floor_ms_jit_x_plus_1"],

@@ -165,7 +165,7 @@ def main() -> None:
                   seed=args.seed)
     if args.out:
         import os
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
     else:

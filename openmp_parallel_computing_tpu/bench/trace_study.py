@@ -109,8 +109,13 @@ def run_study(big_batch: int, steps_small: int = 50,
         state = {"scen": scen}
 
         if frames_mode:
+            # DISTINCT frames, same construction as the headline bench —
+            # identical copies would leave the per-step-perception claim
+            # hostage to a future XLA value-CSE of identical slices.
             import jax.numpy as jnp
-            frames = jnp.stack([frame] * 4)
+            shift = frame.shape[-1] // 4
+            frames = jnp.stack([jnp.roll(frame, k * shift, axis=-1)
+                                for k in range(4)])
 
             def go():
                 u0s, _, state["scen"] = mpc.receding_horizon_frames(
@@ -148,7 +153,7 @@ def main() -> None:
         "grouped by family (containers excluded); one traced window per "
         "capture, compile excluded by a warm pass"), **run_study(args.big_batch)}
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
 

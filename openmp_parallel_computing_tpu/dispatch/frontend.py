@@ -54,6 +54,11 @@ _PAGE = """<!doctype html>
 <div id="result"></div>
 <script>
 const key = {key_json};
+// HTML-escape before any innerHTML interpolation: the error string can
+// carry attacker-influenced text (exception reprs of a malformed
+// upload), and keys ride URLs.
+const esc = t => String(t).replace(/[&<>"']/g,
+  c => ({{'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}}[c]));
 async function poll() {{
   if (!key) return;
   const r = await fetch('/status?key=' + encodeURIComponent(key));
@@ -61,7 +66,7 @@ async function poll() {{
   if (!s.processed) {{ setTimeout(poll, 2000); return; }}
   if (s.error) {{
     document.getElementById('result').innerHTML =
-      `<p>job failed: <code>${{s.error}}</code></p>`;
+      `<p>job failed: <code>${{esc(s.error)}}</code></p>`;
     return;
   }}
   if (s.u0_key) {{  // MPC completion: cost summary + result download
@@ -73,7 +78,7 @@ async function poll() {{
       `${{s.costs.mean.toFixed(4)}}, max primal residual ` +
       `${{s.costs.max_primal_residual.toFixed(4)}}</p>` +
       `<p>solve time: ${{t}}</p>` +
-      `<p><a href="/image/${{s.u0_key}}">result npz</a> ` +
+      `<p><a href="/image/${{encodeURIComponent(s.u0_key)}}">result npz</a> ` +
       `(u0 / costs / primal_residual)</p>`;
     return;
   }}
@@ -90,7 +95,7 @@ async function poll() {{
              `<text x=${{i * W}} y=145>${{d}}dev ${{su.toFixed(2)}}x</text>`;
   }});
   document.getElementById('result').innerHTML =
-    `<p>done: <a href="/image/${{s.processed_key}}">result image</a></p>` +
+    `<p>done: <a href="/image/${{encodeURIComponent(s.processed_key)}}">result image</a></p>` +
     `<h4>time per device count</h4><svg width=400 height=150>${{bars}}</svg>` +
     `<h4>speed-up (t1/tN)</h4><svg width=400 height=150>${{bars2}}</svg>`;
 }}
@@ -107,6 +112,16 @@ def _kernel_options() -> str:
     from openmp_parallel_computing_tpu.ops.runner import kernel_names
 
     return "".join(f"<option>{n}</option>" for n in kernel_names())
+
+
+def _js_str(value) -> str:
+    """JSON-encode a value for embedding inside an HTML <script> block.
+
+    json.dumps alone is NOT script-safe: a string containing
+    '</script>' terminates the script element mid-string (reflected XSS
+    through the GET /?key=... re-attach path). Escaping '<' keeps the
+    payload inert while remaining valid JS."""
+    return json.dumps(value).replace("<", "\\u003c")
 
 
 class FrontendState:
@@ -206,7 +221,7 @@ def make_handler(state: FrontendState):
                 q = urllib.parse.parse_qs(url.query)
                 key = q.get("key", [None])[0]
                 page = _PAGE.format(threads="1", repeat="1", passes="1",
-                                    key_json=json.dumps(key),
+                                    key_json=_js_str(key),
                                     kernel_options=_kernel_options())
                 self._send(200, page.encode(), "text/html")
             elif url.path == "/status":
@@ -258,7 +273,7 @@ def make_handler(state: FrontendState):
                 threads=",".join(map(str, threads)),
                 repeat=fields.get("repeat", "1"),
                 passes=fields.get("passes", "1"),
-                key_json=json.dumps(key),
+                key_json=_js_str(key),
                 kernel_options=_kernel_options())
             self._send(200, page.encode(), "text/html")
 

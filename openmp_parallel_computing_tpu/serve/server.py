@@ -333,22 +333,23 @@ class ControlBatcher:
         frames = stacked("frame")
         warm_key = ("control", shape, horizon, m, bucket)
 
-        def _warm():
-            w_u0, _ = mpc.control_step_multi(frames, scen)
-            _ = np.asarray(w_u0)         # keep compile out of compute_s
-
-        _ensure_warm(warm_key, _warm)
-        with _device_slots:
-            t0 = time.perf_counter()
+        def _packed_step():
             u0, sol = mpc.control_step_multi(frames, scen)
             # ONE device->host fetch for all three results: each separate
             # np.asarray pays a full host<->device round trip (~35 ms on
             # the relayed dev runtime — 3 fetches tripled the /control
             # latency, results/tpu_v5e/control_latency_r3.json).
-            packed = np.asarray(jnp.concatenate(
+            return u0.shape[0], np.asarray(jnp.concatenate(
                 [u0.reshape(-1), sol.cost, sol.primal_residual]))
+
+        # The warm-up must run the SAME packed computation as the timed
+        # path — warming control_step_multi alone would leave the
+        # concatenate to compile inside the first request's compute_s.
+        _ensure_warm(warm_key, lambda: _packed_step())
+        with _device_slots:
+            t0 = time.perf_counter()
+            nb, packed = _packed_step()
             compute_s = time.perf_counter() - t0
-        nb = u0.shape[0]
         u0 = packed[:nb * 6].reshape(nb, 6)
         cost = packed[nb * 6:nb * 7]
         res = packed[nb * 7:]

@@ -218,6 +218,15 @@ class TestEndToEndDispatch:
             rimg = requests.get(
                 f"http://127.0.0.1:{port}/image/{s['processed_key']}")
             assert rimg.status_code == 200 and rimg.content[:4] == b"\x89PNG"
+            # Reflected-XSS regression: a crafted ?key= must not be able
+            # to terminate the <script> block (json.dumps alone leaves
+            # '</script>' intact inside the string; frontend._js_str
+            # escapes '<').
+            evil = "</script><img src=x onerror=alert(1)>"
+            page = requests.get(f"http://127.0.0.1:{port}/",
+                                params={"key": evil}).text
+            assert "</script><img" not in page
+            assert "\\u003c/script" in page  # escaped, still valid JSON/JS
         finally:
             httpd.shutdown()
             state.shutdown()
