@@ -75,7 +75,8 @@ def _h2d_ms_per_frame(frame_hw, samples: int = 8) -> float:
 
 def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
               num_features: int = 8, frame_hw=(1080, 1920),
-              budget_ms: float = 1e3 / 30.0, window_ms: float = 5.0) -> dict:
+              budget_ms: float = 1e3 / 30.0, window_ms: float = 5.0,
+              deadline_ms: float = 1000.0) -> dict:
     import numpy as np
     import requests
 
@@ -122,6 +123,10 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
         "target": fmt(rng.uniform(-0.5, 0.5, 2 * m)),
         "depth": fmt(rng.uniform(1.0, 5.0, m)),
         "horizon": str(horizon),
+        # Staleness budget: past it the server sheds with 503 instead of
+        # queueing (round-4 admission control). 0 = unbounded queueing
+        # (the pre-round-4 behavior, kept reachable for A/B).
+        "deadline_ms": f"{deadline_ms:g}",
     }
 
     def post():
@@ -137,6 +142,8 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
             r = requests.post(url, files={"image": ("f.png", png_bytes)},
                               data=fields, timeout=600)
         wall = time.perf_counter() - t0
+        if r.status_code == 503:    # shed: counted, not a latency sample
+            return wall, None, None
         r.raise_for_status()
         body = r.json()
         return wall, body["compute_s"], body["batched"]
@@ -145,6 +152,8 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
     try:
         for b in buckets:
             e2e, comp, batched = [], [], []
+            shed = 0
+            shed_ms = []
             # Round 0 is the warm-up (first compile of this bucket's padded
             # batch shape) and is discarded.
             for rnd in range(runs + 1):
@@ -172,16 +181,25 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
                 if rnd == 0:
                     continue
                 for wall, c, nb in results:
+                    if c is None:           # shed (503): fast rejection
+                        shed += 1
+                        shed_ms.append(1e3 * wall)
+                        continue
                     e2e.append(1e3 * wall)
                     comp.append(1e3 * c)
                     batched.append(nb)
 
             def pct(xs, p):
+                if not xs:                  # every request shed this level
+                    return float("nan")
                 return float(np.percentile(np.asarray(xs), p))
 
             row = {
                 "concurrency": b,
                 "samples": len(e2e),
+                "shed": shed,
+                "shed_reject_ms_p50": (round(pct(shed_ms, 50), 2)
+                                       if shed_ms else None),
                 "e2e_ms_p50": round(pct(e2e, 50), 2),
                 "e2e_ms_p99": round(pct(e2e, 99), 2),
                 "compute_ms_p50": round(pct(comp, 50), 2),
@@ -204,10 +222,15 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
             "compute_ms is the server's device span INCLUDING the "
             "environment's host<->device relay round trip (see "
             "relay_floor_ms_jit_x_plus_1 — a production runtime has no "
-            "relay); e2e adds HTTP + PNG decode + the micro-batch window."),
+            "relay); e2e adds HTTP + PNG decode + the micro-batch window. "
+            "Each request carries deadline_ms: the server sheds (503, "
+            "counted in 'shed') rather than queue a frame past its "
+            "staleness budget, so accepted-request latency stays bounded "
+            "at every concurrency."),
         "horizon": horizon, "num_features": num_features,
         "frame": list(frame_hw), "window_ms": window_ms,
         "budget_ms": round(budget_ms, 2),
+        "deadline_ms": round(deadline_ms, 2),
         "relay_floor_ms_jit_x_plus_1": round(floor, 2),
         "relay_h2d_ms_per_frame": round(h2d, 2),
         "rows": rows,
@@ -221,11 +244,14 @@ def main() -> None:
     ap.add_argument("--horizon", type=int, default=20)
     ap.add_argument("--features", type=int, default=8)
     ap.add_argument("--budget-ms", type=float, default=1e3 / 30.0)
+    ap.add_argument("--deadline-ms", type=float, default=1000.0,
+                    help="per-request staleness budget (0 = no shedding)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = run_study(buckets=tuple(int(b) for b in args.buckets.split(",")),
                     runs=args.runs, horizon=args.horizon,
-                    num_features=args.features, budget_ms=args.budget_ms)
+                    num_features=args.features, budget_ms=args.budget_ms,
+                    deadline_ms=args.deadline_ms)
     if args.out:
         import os
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

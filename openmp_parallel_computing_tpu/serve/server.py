@@ -211,13 +211,26 @@ def _mpc_engine(horizon: int, num_features: int):
                                     num_features=num_features))
 
 
+class ControlOverload(RuntimeError):
+    """Raised (and mapped to HTTP 503) when a /control frame is shed:
+    its predicted or actual wait exceeds the request's staleness deadline.
+    A real-time endpoint must reject stale frames rather than queue them —
+    the reference fails fast with a 500 instead of queueing
+    (``microservices/grayscale/app.py:36-38``)."""
+
+    def __init__(self, msg: str, predicted_wait_s: float):
+        super().__init__(msg)
+        self.predicted_wait_s = predicted_wait_s
+
+
 class _PendingControl:
     """One /control request waiting in the micro-batch collector."""
 
     __slots__ = ("frame", "p0", "target", "depth", "horizon", "event",
-                 "result", "error")
+                 "result", "error", "t_submit", "deadline_s")
 
-    def __init__(self, frame, p0, target, depth, horizon):
+    def __init__(self, frame, p0, target, depth, horizon,
+                 deadline_s: float | None = None):
         self.frame = frame          # (C, H, W) u8
         self.p0 = p0
         self.target = target
@@ -226,6 +239,8 @@ class _PendingControl:
         self.event = threading.Event()
         self.result: dict | None = None
         self.error: Exception | None = None
+        self.t_submit = time.perf_counter()
+        self.deadline_s = deadline_s   # None = no staleness bound
 
     @property
     def key(self):
@@ -242,24 +257,69 @@ class ControlBatcher:
     ONE ``control_step_multi`` computation; each caller gets its own row.
     A lone request pays at most ``window_s`` extra latency — small next to
     the device solve it amortizes under load.
+
+    Admission control (round-4 hardening): without it, tail latency under
+    sustained overload is unbounded — measured p99 17.2 s at concurrency
+    16 on the dev relay (results/tpu_v5e/control_latency_r3.json), pure
+    queueing against a 33 ms real-time budget. A request carrying a
+    staleness ``deadline`` is therefore (a) rejected AT SUBMIT when its
+    predicted wait — batches queued ahead of it times the measured
+    per-batch solve time, plus the coalescing window — already exceeds
+    the deadline, and (b) dropped AT DISPATCH if it aged past the
+    deadline while queued (the prediction is an estimate; the age check
+    is the hard bound). Shedding needs a solve-time estimate, so the
+    first (compiling) request per key is always admitted.
     """
 
     def __init__(self, window_s: float = ServeConfig.batch_window_ms / 1e3,
-                 max_batch: int = ServeConfig.max_batch):
+                 max_batch: int = ServeConfig.max_batch,
+                 default_deadline_s: float | None =
+                 ServeConfig.control_deadline_ms / 1e3):
         self.window_s = window_s
         self.max_batch = max_batch
+        self.default_deadline_s = default_deadline_s
         self._q: queue_mod.Queue = queue_mod.Queue()
         self._deferred: collections.deque = collections.deque()
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
+        self._solve_s: dict = {}        # key -> EWMA of per-batch seconds
+        self._inflight = False          # loop thread currently solving
 
-    def configure(self, window_s: float, max_batch: int) -> None:
+    def configure(self, window_s: float, max_batch: int,
+                  default_deadline_s: float | None = None) -> None:
         self.window_s = window_s
         self.max_batch = max(1, max_batch)
+        if default_deadline_s is not None:
+            self.default_deadline_s = (default_deadline_s
+                                       if default_deadline_s > 0 else None)
+
+    def predicted_wait_s(self, key) -> float | None:
+        """Estimated submit->result wait for a new request of ``key``:
+        None until a solve of that key has been measured (first compile
+        in flight — always admit)."""
+        est = self._solve_s.get(key)
+        if est is None:
+            return None
+        n_ahead = self._q.qsize() + len(self._deferred)
+        batches = n_ahead // self.max_batch + 1
+        return (self.window_s + batches * est
+                + (est if self._inflight else 0.0))
 
     def submit(self, frame_chw, p0, target, depth, horizon,
-               timeout_s: float = 600.0) -> dict:
-        item = _PendingControl(frame_chw, p0, target, depth, horizon)
+               timeout_s: float = 600.0,
+               deadline_s: float | None = None) -> dict:
+        if deadline_s is None:
+            deadline_s = self.default_deadline_s
+        item = _PendingControl(frame_chw, p0, target, depth, horizon,
+                               deadline_s=deadline_s)
+        if deadline_s is not None:
+            predicted = self.predicted_wait_s(item.key)
+            if predicted is not None and predicted > deadline_s:
+                metrics.inc("serve.control_shed")
+                raise ControlOverload(
+                    f"predicted wait {predicted:.3f}s exceeds deadline "
+                    f"{deadline_s:.3f}s; retry later or raise deadline_ms",
+                    predicted)
         self._ensure_thread()
         self._q.put(item)
         if not item.event.wait(timeout=timeout_s):
@@ -303,15 +363,46 @@ class ControlBatcher:
                 self._deferred.append(it)
         return batch
 
+    def _shed_stale(self, batch: list[_PendingControl]
+                    ) -> list[_PendingControl]:
+        """Drop queued items that would be stale by completion: age plus
+        the measured solve time already exceeds their deadline. The hard
+        bound behind the submit-time prediction."""
+        now = time.perf_counter()
+        fresh = []
+        for it in batch:
+            est = self._solve_s.get(it.key)
+            if est is None:
+                # Key never measured: the wait was the one-time warm
+                # compile, not steady-state queueing — admit (same rule
+                # as submit-time prediction).
+                fresh.append(it)
+                continue
+            waited = now - it.t_submit
+            if it.deadline_s is not None and waited + est > it.deadline_s:
+                metrics.inc("serve.control_shed")
+                it.error = ControlOverload(
+                    f"frame stale: waited {waited:.3f}s of a "
+                    f"{it.deadline_s:.3f}s deadline", waited + est)
+                it.event.set()
+            else:
+                fresh.append(it)
+        return fresh
+
     def _loop(self) -> None:
         while True:
-            batch = self._collect()
+            batch = self._shed_stale(self._collect())
+            if not batch:
+                continue
+            self._inflight = True
             try:
                 self._solve(batch)
             except Exception as exc:  # deliver the failure to every caller
                 for it in batch:
                     it.error = exc
                     it.event.set()
+            finally:
+                self._inflight = False
 
     def _solve(self, batch: list[_PendingControl]) -> None:
         from openmp_parallel_computing_tpu.models.mpc import Scenario
@@ -353,6 +444,11 @@ class ControlBatcher:
         u0 = packed[:nb * 6].reshape(nb, 6)
         cost = packed[nb * 6:nb * 7]
         res = packed[nb * 7:]
+        # Solve-time estimate feeding admission control (EWMA per key:
+        # the post-warm per-batch device+fetch cost).
+        prev = self._solve_s.get(batch[0].key)
+        self._solve_s[batch[0].key] = (compute_s if prev is None
+                                       else 0.7 * prev + 0.3 * compute_s)
         metrics.observe("serve.batch_size", float(B))
         for i, it in enumerate(batch):
             it.result = {
@@ -397,8 +493,19 @@ def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
         raise ValueError(
             f"too many distinct frame shapes this process "
             f"(> {_shape_gate.cap}); resend at an already-served size")
+    # Staleness is a first-class request parameter: the client states how
+    # long its frame stays worth acting on; past it the server sheds (503)
+    # instead of queueing. Absent -> the server-wide default
+    # (ServeConfig.control_deadline_ms); 0 = this request opts out.
+    deadline_s: float | None = None
+    if "deadline_ms" in fields:
+        raw_deadline = float(str(fields["deadline_ms"]))
+        if raw_deadline < 0:
+            raise ValueError("deadline_ms must be >= 0")
+        deadline_s = raw_deadline / 1e3 if raw_deadline else float("inf")
     chw = np.ascontiguousarray(np.transpose(frame_hwc, (2, 0, 1)))
-    return _batcher.submit(chw, p0, target, depth, horizon)
+    return _batcher.submit(chw, p0, target, depth, horizon,
+                           deadline_s=deadline_s)
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -501,6 +608,20 @@ class Handler(BaseHTTPRequestHandler):
         except ValueError as exc:
             self.send_error(400, str(exc))
             return
+        except ControlOverload as exc:
+            # Shed, not queued: the frame would be stale by completion.
+            payload = json.dumps({
+                "error": str(exc),
+                "predicted_wait_s": round(exc.predicted_wait_s, 4),
+            }).encode()
+            self.send_response(503)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After",
+                             f"{max(0.0, exc.predicted_wait_s):.3f}")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            return
         except Exception as exc:
             self.log_error("control failed: %r", exc)
             self.send_error(500, str(exc))
@@ -521,7 +642,8 @@ class Handler(BaseHTTPRequestHandler):
 def serve(cfg: ServeConfig | None = None) -> ThreadingHTTPServer:
     cfg = cfg or ServeConfig()
     global _device_slots
-    _batcher.configure(cfg.batch_window_ms / 1e3, cfg.max_batch)
+    _batcher.configure(cfg.batch_window_ms / 1e3, cfg.max_batch,
+                       default_deadline_s=cfg.control_deadline_ms / 1e3)
     _device_slots = threading.BoundedSemaphore(max(1, cfg.max_inflight))
     _shape_gate.cap = max(1, cfg.max_shapes)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), Handler)

@@ -99,6 +99,17 @@ class ServeConfig:
     # Bound on concurrent device computations (request threads beyond it
     # queue on a semaphore instead of piling work onto the chip).
     max_inflight: int = 2
+    # Real-time admission control for /control: a request is rejected with
+    # 503 (shed) when its predicted completion wait — queue depth ahead of
+    # it in the micro-batcher x the measured per-batch device time, plus
+    # the batching window — exceeds its deadline, and a queued frame whose
+    # deadline has already passed is dropped at dispatch instead of solved
+    # stale. Clients state their own staleness budget per request via the
+    # ``deadline_ms`` form field; this is the server-wide default for
+    # requests that don't. 0 disables shedding (pure FIFO queueing, the
+    # pre-round-4 behavior). The reference analogue fails fast with a 500
+    # rather than queueing (microservices/grayscale/app.py:36-38).
+    control_deadline_ms: float = 1000.0
     # Bound on DISTINCT image shapes accepted per process: every new shape
     # keys fresh jit cache entries (minutes-long first compiles on the
     # relayed TPU), so unauthenticated shape churn is capped like the

@@ -164,6 +164,99 @@ class TestControlBatcher:
         assert np.isfinite(r["cost"])
 
 
+class TestAdmissionControl:
+    """Real-time shedding: /control must bound its wait against the
+    request's staleness deadline instead of queueing unboundedly
+    (round-3 measured p99 17.2 s at concurrency 16 — pure queueing)."""
+
+    def _key(self, frame):
+        return (H, M, frame.shape)
+
+    def test_predicted_overload_sheds_at_submit(self):
+        batcher = srv.ControlBatcher(window_s=0.001, max_batch=4)
+        frame = _frames(1)[0]
+        s = _scen(1)
+        # Prime the solve-time estimate: 10 s per batch, one in flight.
+        batcher._solve_s[self._key(frame)] = 10.0
+        batcher._inflight = True
+        with pytest.raises(srv.ControlOverload) as exc:
+            batcher.submit(frame, np.asarray(s.p0[0]),
+                           np.asarray(s.target[0]), np.asarray(s.depth[0]),
+                           H, deadline_s=0.5)
+        assert exc.value.predicted_wait_s > 0.5
+
+    def test_unmeasured_key_always_admitted(self):
+        """No estimate yet (first compile) -> prediction is None, no shed."""
+        batcher = srv.ControlBatcher(window_s=0.001, max_batch=4)
+        frame = _frames(1)[0]
+        assert batcher.predicted_wait_s(self._key(frame)) is None
+
+    def test_stale_items_dropped_at_dispatch(self):
+        batcher = srv.ControlBatcher(window_s=0.001, max_batch=4)
+        frame = _frames(1)[0]
+        s = _scen(1)
+        item = srv._PendingControl(frame, np.asarray(s.p0[0]),
+                                   np.asarray(s.target[0]),
+                                   np.asarray(s.depth[0]), H,
+                                   deadline_s=1.0)
+        item.t_submit -= 5.0                      # aged 5 s in the queue
+        batcher._solve_s[item.key] = 0.01         # steady state known
+        fresh = batcher._shed_stale([item])
+        assert fresh == []
+        assert isinstance(item.error, srv.ControlOverload)
+        assert item.event.is_set()
+        # A fresh item with the same deadline survives.
+        item2 = srv._PendingControl(frame, np.asarray(s.p0[0]),
+                                    np.asarray(s.target[0]),
+                                    np.asarray(s.depth[0]), H,
+                                    deadline_s=1.0)
+        assert batcher._shed_stale([item2]) == [item2]
+
+    def test_no_deadline_never_sheds(self):
+        batcher = srv.ControlBatcher(window_s=0.001, max_batch=4,
+                                     default_deadline_s=None)
+        frame = _frames(1)[0]
+        s = _scen(1)
+        batcher._solve_s[self._key(frame)] = 100.0
+        item = srv._PendingControl(frame, np.asarray(s.p0[0]),
+                                   np.asarray(s.target[0]),
+                                   np.asarray(s.depth[0]), H,
+                                   deadline_s=None)
+        item.t_submit -= 500.0
+        assert batcher._shed_stale([item]) == [item]
+
+    def test_http_503_with_retry_after(self, tmp_path):
+        import requests
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/control"
+        frame = _frames(1, seed=41)[0]
+        s = _scen(1, seed=42)
+        p = tmp_path / "f.png"
+        imgio.save_png(p, np.transpose(frame, (1, 2, 0)))
+        key = (H, M, frame.shape)
+        old = srv._batcher._solve_s.get(key)
+        srv._batcher._solve_s[key] = 100.0       # pretend: 100 s per batch
+        try:
+            def fmt(v):
+                return ",".join(f"{float(x):.9g}" for x in np.asarray(v))
+            with open(p, "rb") as f:
+                resp = requests.post(url, files={"image": f}, data={
+                    "p0": fmt(s.p0[0]), "target": fmt(s.target[0]),
+                    "depth": fmt(s.depth[0]), "horizon": str(H),
+                    "deadline_ms": "50"})
+            assert resp.status_code == 503
+            assert float(resp.headers["Retry-After"]) > 0
+            assert resp.json()["predicted_wait_s"] > 0.05
+        finally:
+            if old is None:
+                srv._batcher._solve_s.pop(key, None)
+            else:
+                srv._batcher._solve_s[key] = old
+            httpd.shutdown()
+
+
 class TestConcurrentHTTP:
     def test_n_clients_each_get_their_own_result(self, tmp_path):
         import requests

@@ -81,7 +81,14 @@ def test_pinned_control_sequence_parity():
 
 
 def test_solutions_beat_zero_and_greedy(edge_map):
-    """The optimizer must beat trivial policies on its own objective."""
+    """The optimizer must beat trivial policies on its own objective:
+    the zero policy (non-harm) AND a real one-step-greedy controller
+    (does the optimizer actually optimize) — the classical IBVS
+    proportional law: at each step minimize the ONE-step cost
+    ``q_track*||p + dt*L(p)u - target||^2 + r_ctrl*||u||^2`` in closed
+    form (regularized least squares on the interaction matrix), projected
+    onto the control box. Greedy ignores the horizon coupling and the
+    edge term, which is exactly what the MPC is supposed to exploit."""
     from openmp_parallel_computing_tpu.models.mpc import (
         Scenario, costs, dynamics, riccati)
     cfg = MPCConfig(horizon=12, num_features=4, ilqr_iters=3, admm_iters=5)
@@ -100,11 +107,32 @@ def test_solutions_beat_zero_and_greedy(edge_map):
         ps = dynamics.rollout(s.p0, us, s.depth, cfg.dt)
         return float(riccati.trajectory_cost(stage, term, ps, us))
 
+    def greedy_us(s):
+        """One-step-greedy controls over the horizon (closed form)."""
+        eye = jnp.eye(6)
+
+        def body(p, _):
+            A = cfg.dt * dynamics.interaction_matrix(p, s.depth)
+            u = jnp.linalg.solve(
+                cfg.q_track * A.T @ A + cfg.r_ctrl * eye,
+                cfg.q_track * A.T @ (s.target - p))
+            u = jnp.clip(u, -cfg.u_limit, cfg.u_limit)
+            return dynamics.step(p, u, s.depth, cfg.dt), u
+
+        _, us = jax.lax.scan(body, s.p0, None, length=cfg.horizon)
+        return us
+
     for i in range(4):
         s = jax.tree.map(lambda a: a[i], scen)
         zero = traj_cost(s, jnp.zeros((cfg.horizon, 6)))
+        greedy = traj_cost(s, greedy_us(s))
         ours = traj_cost(s, sol.us[i])
         assert ours <= zero + 1e-4, f"scenario {i}: {ours} vs zero {zero}"
+        assert ours <= greedy + 1e-4, \
+            f"scenario {i}: {ours} vs greedy {greedy}"
+        # Greedy itself must be a real controller (beats doing nothing),
+        # otherwise the bar above is vacuous.
+        assert greedy < zero, f"scenario {i}: greedy {greedy} >= zero {zero}"
 
 
 def test_scaling_harness_runs(tmp_path):
