@@ -22,8 +22,10 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import PurePosixPath
 
-from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
-from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
+from openmp_parallel_computing_tpu.dispatch.broker import (
+    make_queue,
+    make_store,
+)
 from openmp_parallel_computing_tpu.dispatch.validate import (
     CONFIG_FIELDS,
     MAX_REPEAT,
@@ -127,9 +129,11 @@ def _js_str(value) -> str:
 class FrontendState:
     def __init__(self, cfg: DispatchConfig):
         self.cfg = cfg
-        self.store = ObjectStore(cfg.root)
-        self.jobs = DurableQueue(cfg.root, cfg.queue)
-        self.done = DurableQueue(cfg.root, f"{cfg.queue}_processed")
+        # Directory root -> filesystem backend; http:// root -> the
+        # network broker (multi-machine dispatch; see dispatch/broker.py).
+        self.store = make_store(cfg.root)
+        self.jobs = make_queue(cfg.root, cfg.queue)
+        self.done = make_queue(cfg.root, f"{cfg.queue}_processed")
         self.processed: dict[str, dict] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()

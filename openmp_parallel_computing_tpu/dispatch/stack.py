@@ -35,11 +35,24 @@ def _worker_main(cfg: DispatchConfig) -> None:
     Worker(cfg).run()
 
 
+def _broker_main(root: str, port: int) -> None:
+    from openmp_parallel_computing_tpu.dispatch.broker import serve_broker
+
+    serve_broker(root, host="127.0.0.1", port=port).serve_forever()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default=None, help="dispatch root directory")
+    ap.add_argument("--root", default=None,
+                    help="dispatch root: a directory (shared-filesystem "
+                         "backend) or an http://host:port broker URL")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--broker-port", type=int, default=0,
+                    help="also start a network broker on this port and "
+                         "route the whole tier through it (the reference's "
+                         "network-reachable RabbitMQ/MinIO topology; 0 = "
+                         "direct filesystem backend)")
     args = ap.parse_args(argv)
 
     from openmp_parallel_computing_tpu.utils.config import load
@@ -49,6 +62,17 @@ def main(argv=None) -> int:
         cfg.root = args.root
 
     ctx = mp.get_context("spawn")
+    broker = None
+    if args.broker_port:
+        from openmp_parallel_computing_tpu.dispatch.broker import _HttpClient
+
+        broker = ctx.Process(target=_broker_main,
+                             args=(cfg.root, args.broker_port), daemon=True)
+        broker.start()
+        url = f"http://127.0.0.1:{args.broker_port}"
+        _HttpClient(url, retries=20, retry_delay_s=0.25).json(
+            "GET", "/healthz")  # wait for the broker to come up
+        cfg.root = url
     workers = [ctx.Process(target=_worker_main, args=(cfg,), daemon=True)
                for _ in range(args.workers)]
     for w in workers:
@@ -74,6 +98,8 @@ def main(argv=None) -> int:
         state.shutdown()
         for w in workers:
             w.terminate()
+        if broker is not None:
+            broker.terminate()
     return 0
 
 

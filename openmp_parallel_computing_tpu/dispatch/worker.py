@@ -42,8 +42,10 @@ from pathlib import Path
 import numpy as np
 
 from openmp_parallel_computing_tpu import imgio
-from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue
-from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
+from openmp_parallel_computing_tpu.dispatch.broker import (
+    make_queue,
+    make_store,
+)
 from openmp_parallel_computing_tpu.dispatch.validate import (
     MAX_REPEAT,
     validate_mpc_config,
@@ -66,11 +68,15 @@ class JobFailed(Exception):
 class Worker:
     def __init__(self, cfg: DispatchConfig | None = None):
         self.cfg = cfg or DispatchConfig()
-        self.store = ObjectStore(self.cfg.root)
-        self.jobs = DurableQueue(self.cfg.root, self.cfg.queue,
-                                 self.cfg.visibility_timeout_s)
-        self.done = DurableQueue(self.cfg.root,
-                                 f"{self.cfg.queue}_processed")
+        # Factory: a directory root -> filesystem queue/store; an
+        # http://host:port root -> the network broker (broker.py), the
+        # multi-machine path matching the reference's network-reachable
+        # RabbitMQ/MinIO (event-driven/docker-compose.yml:3-18).
+        self.store = make_store(self.cfg.root)
+        self.jobs = make_queue(self.cfg.root, self.cfg.queue,
+                               self.cfg.visibility_timeout_s)
+        self.done = make_queue(self.cfg.root,
+                               f"{self.cfg.queue}_processed")
         # Engines are device-resident (compiled, minutes on the relayed
         # TPU): keep the last few, evict LRU so config churn is bounded.
         self._mpc_cache: collections.OrderedDict = collections.OrderedDict()

@@ -120,7 +120,12 @@ class ServeConfig:
 
 @dataclasses.dataclass
 class DispatchConfig:
-    root: str = "/tmp/ompc_dispatch"  # queue + object-store directory
+    # Queue + object-store location: a DIRECTORY (shared-filesystem
+    # backend, single-host default) or an ``http://host:port`` URL of a
+    # ``dispatch.broker`` process — the network path that lets the tier
+    # span machines without a shared mount, matching the reference's
+    # network-reachable RabbitMQ/MinIO (docker-compose.yml:3-18).
+    root: str = "/tmp/ompc_dispatch"
     queue: str = "grayscale"
     visibility_timeout_s: float = 60.0
 
