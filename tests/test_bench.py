@@ -59,3 +59,46 @@ def test_service_sweep(png, tmp_path):
                           "avg_service_sec", "std_service_sec"]
     finally:
         httpd.shutdown()
+
+
+def test_fixture_set_in_package():
+    """BASELINE configs 2-3 must be re-runnable from a clean checkout:
+    all three benchmark inputs ship in-package with the reference's
+    dimensions (images/: 1920x1080, 2037x1362, 2000x3000)."""
+    from openmp_parallel_computing_tpu import data
+
+    shapes = {}
+    for name, path in data.fixture_set().items():
+        assert path.exists(), f"{name} fixture missing from the package"
+        shapes[name] = imgio.load(path).shape
+    assert shapes == {"frame_1080p": (1080, 1920, 3),
+                      "photo_half_mega": (1362, 2037, 3),
+                      "photo_6mp": (3000, 2000, 3)}
+
+
+def test_image_set_study_runs(tmp_path, monkeypatch):
+    """The blur-halfmega + edge-set studies run end to end (tiny stand-in
+    fixtures; the artifact names/schemas are the real ones)."""
+    import json
+
+    from openmp_parallel_computing_tpu import data
+    from openmp_parallel_computing_tpu.bench import image_set
+
+    rng = np.random.default_rng(9)
+    tiny = {}
+    for name in ("frame_1080p", "photo_half_mega", "photo_6mp"):
+        p = tmp_path / f"{name}.png"
+        imgio.save_png(p, rng.integers(0, 256, (24, 136, 3), dtype=np.uint8))
+        tiny[name] = p
+    monkeypatch.setattr(data, "fixture_set", lambda: tiny)
+    monkeypatch.setattr(data, "half_mega_path",
+                        lambda: tiny["photo_half_mega"])
+
+    out = tmp_path / "results"
+    rows = image_set.blur_halfmega(out, runs=1, passes=2)
+    assert (out / "blur_halfmega" / "blur_bench.csv").exists()
+    assert rows[0].avg_real_s > 0
+    res = image_set.edge_images_set(out, runs=1, passes=2)
+    assert set(res) == set(tiny)
+    on_disk = json.loads((out / "edge_images_set.json").read_text())
+    assert set(on_disk) == set(tiny)
