@@ -519,6 +519,13 @@ class _SweepLanes:
             v_l = jnp.pad(jnp.transpose(v, (1, 0)),
                           ((0, 0), (0, self.Bp - self.B)))
             return v_l.reshape(v_l.shape[:-1] + self.bshape)
+        if self.cfg.edge_sampler == "pallas":
+            from openmp_parallel_computing_tpu.models.mpc import (
+                sampler_pallas)
+
+            return sampler_pallas.edge_vals_lanes(
+                self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape,
+                scales=costs.PYRAMID_SCALES)
         return costs.edge_cost_pyramid_xy(
             self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape)
 
@@ -529,7 +536,12 @@ class _SweepLanes:
         gradients; padding lanes get real (finite, discarded) gradients
         where the old unlanes round trip zero-padded them. Batched
         pyramids (serving multi-frame) fall back to the interleaved
-        sampler — micro-batches are single digits, layout cost is nil."""
+        sampler — micro-batches are single digits, layout cost is nil.
+
+        edge_sampler="pallas" computes the gradient analytically inside
+        the VMEM-resident sampler kernel (one value+grad launch) instead
+        of autodiffing the XLA einsums — same values (tested), none of
+        the HBM-materialized weight traffic (docs/DESIGN.md §2g)."""
         if not self.qe:
             return jnp.zeros((self.h + 1, self.n) + self.bshape,
                              jnp.float32)
@@ -540,6 +552,15 @@ class _SweepLanes:
             g_l = jnp.pad(jnp.transpose(g, (1, 2, 0)),
                           ((0, 0), (0, 0), (0, self.Bp - self.B)))
             return g_l.reshape(g_l.shape[:-1] + self.bshape)
+        if self.cfg.edge_sampler == "pallas":
+            from openmp_parallel_computing_tpu.models.mpc import (
+                sampler_pallas)
+
+            m = self.m
+            _, gx, gy = sampler_pallas.edge_vg_lanes(
+                self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape,
+                scales=costs.PYRAMID_SCALES)
+            return jnp.concatenate([gx, gy], axis=1)
         return jax.grad(lambda ps: jnp.sum(self.edge_vals(ps)))(ps_l)
 
     # -- solve ---------------------------------------------------------------

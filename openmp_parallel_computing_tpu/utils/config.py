@@ -68,6 +68,19 @@ class MPCConfig:
     # parity (<0.05%, sometimes better) on real 1080p frames — see
     # results/tpu_v5e/edge_refresh_study.json.
     edge_refresh: str = "admm"
+    # Pyramid sampling implementation for the sweep backend's lanes paths
+    # (value + gradient of the edge cost):
+    #   "xla"    - dense separable-weight einsums in XLA (gradients by
+    #              autodiff). The weight tensors materialize in HBM
+    #              (~188 floats/point), which goes bandwidth-bound at
+    #              large point counts (H=50 @ 4096, H=20 @ 16k —
+    #              docs/DESIGN.md §2g).
+    #   "pallas" - VMEM-resident kernel (models/mpc/sampler_pallas.py):
+    #              weights built on the fly in VMEM, two MXU matmuls per
+    #              level against the resident level, analytic gradients.
+    # Numerically equivalent (tested); the default is chosen by on-chip
+    # A/B per regime (results/tpu_v5e/sampler_study_r4.json).
+    edge_sampler: str = "xla"
     # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
     # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost
     # terms (the edge field is piecewise-linear), so large rho slows

@@ -167,6 +167,101 @@ class TestEdgeCostPyramidXY:
                                    rtol=1e-4, atol=1e-6)
 
 
+class TestPallasSampler:
+    """The VMEM-resident Pallas sampler (models/mpc/sampler_pallas.py)
+    must match the XLA separable sampler — values and analytic gradients —
+    including the hat-weight kink and border-clip conventions it
+    reimplements in-kernel (costs._hat_weights / _clip_coord)."""
+
+    def _pyramid(self, rng):
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        return costs.build_cost_pyramid(edge), (64, 128)
+
+    def _coords(self, rng, K, m, B):
+        # Mix interior, off-frame (clamped), and exactly-on-grid points:
+        # the regimes where the kink/border conventions matter.
+        x = rng.uniform(-1.4, 1.4, (K, m, B)).astype(np.float32)
+        y = rng.uniform(-1.4, 1.4, (K, m, B)).astype(np.float32)
+        x[0, 0] = -1.0   # exactly on the border
+        y[0, 0] = 1.0
+        if m > 1:
+            x[:, 1] = np.round(x[:, 1], 0)  # integer normalized coords
+        return jnp.asarray(x), jnp.asarray(y)
+
+    def test_values_match_xla_sampler(self):
+        from openmp_parallel_computing_tpu.models.mpc import sampler_pallas
+
+        rng = np.random.default_rng(11)
+        pyramid, (hh, ww) = self._pyramid(rng)
+        x, y = self._coords(rng, 5, 4, 256)
+        want = costs.edge_cost_pyramid_xy(pyramid, x, y, hh, ww)
+        got = sampler_pallas.edge_vals_lanes(pyramid, x, y, hh, ww,
+                                             costs.PYRAMID_SCALES)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_vg_matches_xla_autodiff(self):
+        from openmp_parallel_computing_tpu.models.mpc import sampler_pallas
+
+        rng = np.random.default_rng(12)
+        pyramid, (hh, ww) = self._pyramid(rng)
+        K, m, B = 4, 4, 256
+        x, y = self._coords(rng, K, m, B)
+
+        def val_sum(q):
+            return jnp.sum(costs.edge_cost_pyramid_xy(
+                pyramid, q[:, :m], q[:, m:], hh, ww))
+
+        ps_l = jnp.concatenate([x, y], axis=1)
+        g_want = jax.grad(val_sum)(ps_l)
+        v_want = costs.edge_cost_pyramid_xy(pyramid, x, y, hh, ww)
+        v, gx, gy = sampler_pallas.edge_vg_lanes(pyramid, x, y, hh, ww,
+                                                 costs.PYRAMID_SCALES)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_want),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx),
+                                   np.asarray(g_want[:, :m]),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gy),
+                                   np.asarray(g_want[:, m:]),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_nonaligned_point_count_pads(self):
+        """Point counts that don't divide the kernel TILE must pad
+        transparently (every real config: K*m*B is rarely TILE-aligned)."""
+        from openmp_parallel_computing_tpu.models.mpc import sampler_pallas
+
+        rng = np.random.default_rng(13)
+        pyramid, (hh, ww) = self._pyramid(rng)
+        x, y = self._coords(rng, 3, 3, 7)      # 63 points
+        want = costs.edge_cost_pyramid_xy(pyramid, x, y, hh, ww)
+        got = sampler_pallas.edge_vals_lanes(pyramid, x, y, hh, ww,
+                                             costs.PYRAMID_SCALES)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("edge_refresh", ["solve", "admm"])
+    def test_solver_equivalence_xla_vs_pallas_sampler(self, edge_refresh):
+        """Full sweep-backend solve: edge_sampler="pallas" must reproduce
+        the XLA sampler's solution (same backend, same schedule)."""
+        rng = np.random.default_rng(14)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+
+        def solve(sampler):
+            cfg = MPCConfig(horizon=8, num_features=4, ilqr_iters=2,
+                            admm_iters=3, edge_refresh=edge_refresh,
+                            edge_sampler=sampler)
+            mpc = VisualServoMPC(cfg)
+            scen = mpc.random_scenarios(jax.random.PRNGKey(5), 6)
+            sol = mpc.solve_batch(edge, scen)
+            return np.asarray(sol.us), np.asarray(sol.cost)
+
+        us_x, cost_x = solve("xla")
+        us_p, cost_p = solve("pallas")
+        np.testing.assert_allclose(us_p, us_x, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(cost_p, cost_x, rtol=1e-4, atol=1e-4)
+
+
 class TestRiccatiLQR:
     def test_matches_analytic_single_step(self):
         """H=1 LQR: u* = -(R + B'QB)^-1 B'Q A x0."""
