@@ -56,19 +56,22 @@ def loop_throughput(B: int, steps: int, horizon: int, sampler: str,
     return vals
 
 
-def run(h20_batches, h50_batches, solves: int, trials: int) -> list[dict]:
+def run(h20_batches, h50_batches, solves: int, trials: int,
+        samplers=("xla", "pallas")) -> list[dict]:
     rows = []
     for horizon, batches in ((20, h20_batches), (50, h50_batches)):
         for B in batches:
             steps = max(8, solves // B)
             row = {"horizon": horizon, "batch": B, "steps": steps}
-            for sampler in ("xla", "pallas"):
+            for sampler in samplers:
                 vals = loop_throughput(B, steps, horizon, sampler, trials)
                 row[f"{sampler}_solves_per_s"] = int(
                     statistics.median(vals))
                 row[f"{sampler}_trials"] = [int(v) for v in vals]
-            row["pallas_over_xla"] = round(
-                row["pallas_solves_per_s"] / row["xla_solves_per_s"], 4)
+            for sampler in samplers[1:]:
+                row[f"{sampler}_over_xla"] = round(
+                    row[f"{sampler}_solves_per_s"]
+                    / row["xla_solves_per_s"], 4)
             rows.append(row)
             print(json.dumps(row), flush=True)
     return rows
@@ -80,6 +83,7 @@ def main() -> None:
     ap.add_argument("--h50-batches", default="256,1024,4096")
     ap.add_argument("--solves", type=int, default=200_000)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--samplers", default="xla,pallas")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -87,7 +91,8 @@ def main() -> None:
         return [int(x) for x in s.split(",") if x]
 
     rows = run(parse(args.h20_batches), parse(args.h50_batches),
-               args.solves, args.trials)
+               args.solves, args.trials,
+               tuple(s for s in args.samplers.split(",") if s))
     out = {"methodology": (
         "device-resident receding_horizon windows (fixed frame, "
         "edge_refresh='solve'), median of trials, result-dependent fetch "

@@ -254,6 +254,71 @@ def edge_cost_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
     return jnp.mean(total, axis=1) / len(pyramid)
 
 
+def edge_vg_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
+                       height: int, width: int, scales=PYRAMID_SCALES):
+    """Analytic value+gradient twin of ``edge_cost_pyramid_xy``: one pass
+    computes the per-state costs AND d(sum(costs))/d(x, y) — the exact
+    pair ``_SweepLanes`` needs per edge linearization — without autodiff.
+
+    Same contract as ``sampler_pallas.edge_vg_lanes``: returns
+    ``(vals (K, *B), gx (K, m, *B), gy (K, m, *B))``. The gradient
+    formulas are the hat-weight one-hot-pair derivatives autodiff produces
+    from ``_hat_weights`` (floor carries zero gradient; the border mask
+    passes ON the border, blocks strictly outside — ``_clip_coord``'s
+    convention), so values AND gradients match
+    ``jax.grad(sum ∘ edge_cost_pyramid_xy)`` to reassociation (tested).
+
+    Why it exists: the autodiff path materializes the forward weight
+    tensors AND the backward pass's rebuilt weights + cotangent products
+    in HBM — the dominant per-solve cost at large point counts
+    (docs/DESIGN.md §2g: the 16k-batch edge glue). Building ``w`` and
+    ``dw`` together from one one-hot pair and contracting each level
+    exactly twice is the leanest dense-weight formulation; the round-4
+    sampler study A/Bs it on-chip.
+    """
+    m = x.shape[1]
+    xp = (x + 1.0) * (0.5 * (width - 1))
+    yp = (y + 1.0) * (0.5 * (height - 1))
+    total = 0.0
+    gx_tot = 0.0
+    gy_tot = 0.0
+    norm = 1.0 / (m * len(pyramid))
+    for level, s in zip(pyramid, scales):
+        hf, wf = level.shape
+        xl_raw = (xp - (s - 1) / 2.0) / s
+        yl_raw = (yp - (s - 1) / 2.0) / s
+        xl = _clip_coord(xl_raw, float(wf - 1))
+        yl = _clip_coord(yl_raw, float(hf - 1))
+
+        def w_dw(cl, size):
+            """Hat weights and their d/d(level coord) from ONE one-hot
+            pair (same trick as the Pallas kernel): with a = onehot(c0),
+            b = onehot(c0+1): w = a + f*(b-a), dw = b - a."""
+            grid = jnp.arange(size, dtype=cl.dtype)
+            c0 = jnp.clip(jnp.floor(cl), 0.0, float(size - 2))[..., None]
+            f = cl[..., None] - c0
+            a = jnp.where(grid == c0, 1.0, 0.0)
+            b = jnp.where(grid == c0 + 1.0, 1.0, 0.0)
+            dw = b - a
+            return a + f * dw, dw
+
+        wx, dwx = w_dw(xl, wf)                        # (K, m, *B, wf)
+        wy, dwy = w_dw(yl, hf)                        # (K, m, *B, hf)
+        t2 = jnp.einsum("...i,ij->...j", wy, level)   # (K, m, *B, wf)
+        t1 = jnp.einsum("...j,ij->...i", wx, level)   # (K, m, *B, hf)
+        e = jnp.sum(wy * t1, axis=-1)                 # == wy . L . wx
+        total = total + (1.0 - e * (1.0 / 255.0))
+        # Border mask + chain factors (level coord -> normalized coord).
+        mx = ((xl_raw >= 0.0) & (xl_raw <= float(wf - 1))).astype(x.dtype)
+        my = ((yl_raw >= 0.0) & (yl_raw <= float(hf - 1))).astype(y.dtype)
+        cx = -(1.0 / 255.0) * (1.0 / s) * 0.5 * (width - 1)
+        cy = -(1.0 / 255.0) * (1.0 / s) * 0.5 * (height - 1)
+        gx_tot = gx_tot + cx * mx * jnp.sum(t2 * dwx, axis=-1)
+        gy_tot = gy_tot + cy * my * jnp.sum(t1 * dwy, axis=-1)
+    return (jnp.mean(total, axis=1) / len(pyramid),
+            gx_tot * norm, gy_tot * norm)
+
+
 def make_stage_cost(pyramid, shape: tuple[int, int], target: jax.Array,
                     q_track: float, r_ctrl: float, q_edge: float):
     """Build l(p, u) for one scenario over a precomputed cost pyramid.

@@ -46,10 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from openmp_parallel_computing_tpu.ops._tiling import interpret_mode
 
-# Points per grid step. 512 rows keep the per-tile VMEM working set under
-# ~2 MB (weights + derivative weights + two matmul results, all
-# lane-padded to 128) while the (512, 68/120) matmuls are large enough to
-# stream through the MXU back-to-back.
+# Default points per grid step (overridable per call: ``tile=``). The
+# on-chip tile sweep (results/tpu_v5e/sampler_kernel_study_r4.json) sets
+# the default; the per-tile VMEM working set is ~4 KB/point-row
+# (weights + derivative weights + matmul results, lane-padded), so even
+# 4096-point tiles stay well under VMEM.
 TILE = 512
 
 
@@ -96,10 +97,19 @@ def _sample_kernel(x_ref, y_ref, *refs, shapes, scales, h_img, w_img,
         fy = yl - y0.astype(jnp.float32)
         jx = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], wf), 1)
         jy = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], hf), 1)
-        wx = (jnp.where(jx == x0, 1.0 - fx, 0.0)
-              + jnp.where(jx == x0 + 1, fx, 0.0))           # (T, wf)
-        wy = (jnp.where(jy == y0, 1.0 - fy, 0.0)
-              + jnp.where(jy == y0 + 1, fy, 0.0))           # (T, hf)
+        # One wide compare pair per axis, reused by the weight AND its
+        # derivative: with a = onehot(x0), b = onehot(x0+1),
+        #   wx  = a + fx * (b - a)        dwx = b - a
+        # (halves the VPU weight-build work vs building wx and dwx from
+        # four independent masked selects).
+        ax = jnp.where(jx == x0, 1.0, 0.0)
+        bx = jnp.where(jx == x0 + 1, 1.0, 0.0)
+        dwx = bx - ax                                        # (T, wf)
+        wx = ax + fx * dwx
+        ay = jnp.where(jy == y0, 1.0, 0.0)
+        by = jnp.where(jy == y0 + 1, 1.0, 0.0)
+        dwy = by - ay                                        # (T, hf)
+        wy = ay + fy * dwy
 
         # t2[p, i] = sum_j L[i, j] wx[p, j] — the column interpolation of
         # every level row; e = wy . t2 finishes the bilinear sample.
@@ -108,10 +118,6 @@ def _sample_kernel(x_ref, y_ref, *refs, shapes, scales, h_img, w_img,
         v = v + (1.0 - e * (1.0 / 255.0))
 
         if grads:
-            dwx = (jnp.where(jx == x0 + 1, 1.0, 0.0)
-                   - jnp.where(jx == x0, 1.0, 0.0))
-            dwy = (jnp.where(jy == y0 + 1, 1.0, 0.0)
-                   - jnp.where(jy == y0, 1.0, 0.0))
             mx = ((xl_raw >= 0.0) & (xl_raw <= float(wf - 1))
                   ).astype(jnp.float32)
             my = ((yl_raw >= 0.0) & (yl_raw <= float(hf - 1))
@@ -130,7 +136,8 @@ def _sample_kernel(x_ref, y_ref, *refs, shapes, scales, h_img, w_img,
         out_refs[2][:] = gy
 
 
-def _run(levels, x, y, h_img, w_img, scales, grads: bool):
+def _run(levels, x, y, h_img, w_img, scales, grads: bool,
+         tile: int = TILE):
     """Flatten lanes-layout coords, tile over points, run the kernel.
 
     x, y: (K, m, *B) — any trailing batch dims. Returns per-point arrays
@@ -140,7 +147,7 @@ def _run(levels, x, y, h_img, w_img, scales, grads: bool):
     n_pts = 1
     for d in shape:
         n_pts *= int(d)
-    n_pad = -(-n_pts // TILE) * TILE
+    n_pad = -(-n_pts // tile) * tile
     xf = jnp.pad(x.reshape(n_pts), (0, n_pad - n_pts)).reshape(n_pad, 1)
     yf = jnp.pad(y.reshape(n_pts), (0, n_pad - n_pts)).reshape(n_pad, 1)
 
@@ -154,14 +161,14 @@ def _run(levels, x, y, h_img, w_img, scales, grads: bool):
             level_specs.append(pl.BlockSpec(
                 a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
-    col = lambda: pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+    col = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     n_out = 3 if grads else 1
     outs = pl.pallas_call(
         functools.partial(_sample_kernel, shapes=shapes,
                           scales=tuple(scales), h_img=h_img, w_img=w_img,
                           grads=grads),
-        grid=(n_pad // TILE,),
+        grid=(n_pad // tile,),
         in_specs=[col(), col()] + level_specs,
         out_specs=tuple(col() for _ in range(n_out)),
         out_shape=tuple(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
@@ -173,22 +180,25 @@ def _run(levels, x, y, h_img, w_img, scales, grads: bool):
     return tuple(o.reshape(n_pad)[:n_pts].reshape(shape) for o in outs)
 
 
-def edge_vals_lanes(pyramid, x, y, h_img, w_img, scales) -> jax.Array:
+def edge_vals_lanes(pyramid, x, y, h_img, w_img, scales,
+                    tile: int = TILE) -> jax.Array:
     """Per-state pyramid edge cost on lanes-layout coordinates:
     x, y (K, m, *B) -> (K, *B), identical contract to
     ``costs.edge_cost_pyramid_xy`` (mean over levels and features)."""
-    (v,) = _run(pyramid, x, y, h_img, w_img, scales, grads=False)
+    (v,) = _run(pyramid, x, y, h_img, w_img, scales, grads=False,
+                tile=tile)
     return jnp.mean(v, axis=1) / len(pyramid)
 
 
-def edge_vg_lanes(pyramid, x, y, h_img, w_img, scales):
+def edge_vg_lanes(pyramid, x, y, h_img, w_img, scales, tile: int = TILE):
     """Values AND the gradient of their sum, in one kernel pass.
 
     Returns ``(vals (K, *B), gx (K, m, *B), gy (K, m, *B))`` where
     (gx, gy) = d(sum(vals)) / d(x, y) — the quantity
     ``_SweepLanes.edge_grads`` needs, computed analytically in-kernel
     instead of autodiffing the XLA sampler."""
-    v, gx, gy = _run(pyramid, x, y, h_img, w_img, scales, grads=True)
+    v, gx, gy = _run(pyramid, x, y, h_img, w_img, scales, grads=True,
+                     tile=tile)
     scale = 1.0 / (x.shape[1] * len(pyramid))
     return (jnp.mean(v, axis=1) / len(pyramid),
             gx * scale, gy * scale)

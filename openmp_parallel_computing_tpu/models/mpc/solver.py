@@ -66,13 +66,14 @@ _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
 # single packed tile — so the choice is binary.
 PACK_SPEED = {1: 1.0, 8: 0.97}
 
-# Whole-solve one-launch kernel (sweep backend, edge_refresh="solve").
-# Measured on-chip perf-NEUTRAL vs the scan of multi_sweep launches
-# (results/tpu_v5e/full_solve_study.json: 1.52 vs 1.49 ms at 256, equal at
-# 4096, identical final costs) — the scan path is already device-resident,
-# so there is no launch overhead to fuse away. Kept as an equivalence-tested
-# alternative; off by default. Flip for single-launch profiling/tracing.
-_FULL_SOLVE = False
+# The whole-solve one-launch kernel (sweep backend, edge_refresh="solve")
+# is selected per config: MPCConfig.full_solve (part of the jit static
+# key). History: measured perf-NEUTRAL vs the scan of multi_sweep launches
+# at small batch (results/tpu_v5e/full_solve_study.json: 1.52 vs 1.49 ms at
+# 256) — the scan path is already device-resident, so there is no launch
+# overhead to fuse away there; the round-4 A/B re-measures at 4096/16384
+# where the ceiling probe pinned the growing solver-side XLA glue
+# (docs/DESIGN.md §2g).
 
 
 def _to_split(a):
@@ -473,7 +474,7 @@ class _SweepLanes:
         self.use_unified = est["unified"] < 10 * 1024 * 1024
         self.use_multi = (cfg.edge_refresh in ("admm", "solve")
                           and est["multi"] < 10 * 1024 * 1024)
-        self.use_full = (_FULL_SOLVE and cfg.edge_refresh == "solve"
+        self.use_full = (cfg.full_solve and cfg.edge_refresh == "solve"
                          and est["full"] < 10 * 1024 * 1024)
 
     # -- layout ------------------------------------------------------------
@@ -560,6 +561,11 @@ class _SweepLanes:
             _, gx, gy = sampler_pallas.edge_vg_lanes(
                 self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape,
                 scales=costs.PYRAMID_SCALES)
+            return jnp.concatenate([gx, gy], axis=1)
+        if self.cfg.edge_sampler == "analytic":
+            m = self.m
+            _, gx, gy = costs.edge_vg_pyramid_xy(
+                self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape)
             return jnp.concatenate([gx, gy], axis=1)
         return jax.grad(lambda ps: jnp.sum(self.edge_vals(ps)))(ps_l)
 

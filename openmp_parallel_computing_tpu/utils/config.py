@@ -75,12 +75,32 @@ class MPCConfig:
     #              (~188 floats/point), which goes bandwidth-bound at
     #              large point counts (H=50 @ 4096, H=20 @ 16k —
     #              docs/DESIGN.md §2g).
+    #   "analytic" - same dense-weight einsums, but value AND gradient
+    #              computed analytically in one pass (costs.
+    #              edge_vg_pyramid_xy): no autodiff backward pass, so the
+    #              weight tensors materialize once instead of twice.
     #   "pallas" - VMEM-resident kernel (models/mpc/sampler_pallas.py):
     #              weights built on the fly in VMEM, two MXU matmuls per
     #              level against the resident level, analytic gradients.
+    #              Measured compute-bound at a ~4 MXU-cycles/point floor —
+    #              BELOW the XLA einsum path at every batch (the committed
+    #              negative result in sampler_study_r4.json /
+    #              sampler_kernel_study_r4.json): kept as an
+    #              equivalence-tested audit path, not a default.
     # Numerically equivalent (tested); the default is chosen by on-chip
     # A/B per regime (results/tpu_v5e/sampler_study_r4.json).
     edge_sampler: str = "xla"
+    # Whole-ADMM one-launch kernel (sweep backend, edge_refresh="solve"
+    # only): run the ENTIRE ADMM loop — every iLQR sweep, the z/y
+    # projection/dual updates, and the final feasible rollout — as one
+    # Pallas launch (``sweep_pallas.full_solve``) instead of a ``lax.scan``
+    # of per-iteration ``multi_sweep`` launches with XLA dual updates in
+    # between. Numerically identical (equivalence-tested both at the
+    # kernel and the Solution level). Default chosen by on-chip A/B
+    # across the batch-ceiling curve (results/tpu_v5e/full_solve_study*.json);
+    # part of the jit static key, so flipping it retraces rather than
+    # reusing the other path's executable.
+    full_solve: bool = False
     # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
     # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost
     # terms (the edge field is piecewise-linear), so large rho slows

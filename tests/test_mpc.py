@@ -262,6 +262,63 @@ class TestPallasSampler:
         np.testing.assert_allclose(cost_p, cost_x, rtol=1e-4, atol=1e-4)
 
 
+class TestAnalyticSampler:
+    """costs.edge_vg_pyramid_xy: the one-pass analytic value+gradient XLA
+    sampler must reproduce the autodiff of edge_cost_pyramid_xy — values
+    and gradients — including the kink (integer coordinates) and border
+    conventions the hat-weight construction encodes."""
+
+    def test_matches_autodiff(self):
+        rng = np.random.default_rng(17)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        pyramid = costs.build_cost_pyramid(edge)
+        K, m, B = 5, 4, 96
+        x = rng.uniform(-1.4, 1.4, (K, m, B)).astype(np.float32)
+        y = rng.uniform(-1.4, 1.4, (K, m, B)).astype(np.float32)
+        x[0, 0] = -1.0                      # exactly on the border
+        y[0, 0] = 1.0
+        x[:, 1] = np.round(x[:, 1], 0)      # integer normalized coords
+        x, y = jnp.asarray(x), jnp.asarray(y)
+
+        def val_sum(q):
+            return jnp.sum(costs.edge_cost_pyramid_xy(
+                pyramid, q[:, :m], q[:, m:], 64, 128))
+
+        ps_l = jnp.concatenate([x, y], axis=1)
+        g_want = jax.grad(val_sum)(ps_l)
+        v_want = costs.edge_cost_pyramid_xy(pyramid, x, y, 64, 128)
+        v, gx, gy = costs.edge_vg_pyramid_xy(pyramid, x, y, 64, 128)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_want),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx),
+                                   np.asarray(g_want[:, :m]),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gy),
+                                   np.asarray(g_want[:, m:]),
+                                   rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("edge_refresh", ["solve", "admm"])
+    def test_solver_equivalence_vs_xla(self, edge_refresh):
+        """Full sweep-backend solve: edge_sampler="analytic" reproduces
+        the autodiff XLA sampler's solution."""
+        rng = np.random.default_rng(18)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+
+        def solve(sampler):
+            cfg = MPCConfig(horizon=8, num_features=4, ilqr_iters=2,
+                            admm_iters=3, edge_refresh=edge_refresh,
+                            edge_sampler=sampler)
+            mpc = VisualServoMPC(cfg)
+            scen = mpc.random_scenarios(jax.random.PRNGKey(5), 6)
+            sol = mpc.solve_batch(edge, scen)
+            return np.asarray(sol.us), np.asarray(sol.cost)
+
+        us_x, cost_x = solve("xla")
+        us_a, cost_a = solve("analytic")
+        np.testing.assert_allclose(us_a, us_x, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(cost_a, cost_x, rtol=1e-4, atol=1e-4)
+
+
 class TestRiccatiLQR:
     def test_matches_analytic_single_step(self):
         """H=1 LQR: u* = -(R + B'QB)^-1 B'Q A x0."""

@@ -96,6 +96,61 @@ class TestDistributed:
             dmpc.solve(frame, scen)
 
 
+class TestCollectiveFootprint:
+    """parallel.introspect on the real distributed step: the traffic
+    inventory the pod-scaling prediction (bench.pod_model,
+    results/model/pod_scaling_model.json) is built from. Guards the
+    scaling story's load-bearing fact: the ADMM solve itself is
+    communication-free, so the only traffic on the cross-host (data)
+    axis is the scalar diagnostics reduction."""
+
+    def test_distributed_step_footprint(self, frame, cfg):
+        from openmp_parallel_computing_tpu.parallel import introspect
+
+        mesh = parallel.make_mesh(data=4, model=2)
+        dmpc = DistributedMPC(cfg, mesh)
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(5), 8)
+        frame_s, scen_s = dmpc._prepare(jnp.asarray(frame), scen)
+        cols = introspect.collective_footprint(dmpc._step, frame_s, scen_s)
+
+        prims = {c.primitive for c in cols}
+        # Halo exchange (ppermute) + pooled-band assembly (psum) ride the
+        # model axis; the diagnostics reduction spans both axes.
+        assert any("ppermute" in p for p in prims), prims
+        model_only = [c for c in cols
+                      if c.axes and "data" not in c.axes]
+        assert any(c.primitive.startswith("psum") for c in model_only)
+        dcn = [c for c in cols if "data" in c.axes]
+        assert dcn, "diagnostics reduction missing from the footprint"
+        # THE claim: cross-host traffic is scalar diagnostics only.
+        dcn_bytes = sum(c.bytes * c.count for c in dcn)
+        assert dcn_bytes <= 64, (
+            f"cross-host payload grew to {dcn_bytes} B — the "
+            "communication-free-solve property broke", dcn)
+
+    def test_footprint_counts_scan_multiplicity(self):
+        from openmp_parallel_computing_tpu.parallel import introspect
+
+        mesh = parallel.make_mesh(data=8, model=1)
+
+        def step(x):
+            def body(c, _):
+                return c + jax.lax.psum(c, "data"), None
+            out, _ = jax.lax.scan(body, x, None, length=5)
+            return out
+
+        f = jax.jit(jax.shard_map(
+            step, mesh=mesh,
+            in_specs=jax.sharding.PartitionSpec("data"),
+            out_specs=jax.sharding.PartitionSpec("data")))
+        x = jnp.ones((8, 4), jnp.float32)
+        cols = [c for c in introspect.collective_footprint(f, x)
+                if c.primitive.startswith("psum")]
+        assert cols and cols[0].count == 5
+        assert cols[0].bytes == 4 * 4  # (1, 4) f32 per-device payload
+
+
 class TestRuntime:
     def _scenario_args(self, n, m):
         rng = np.random.default_rng(31)

@@ -289,26 +289,26 @@ class TestFullSolve:
         np.testing.assert_array_equal(np.asarray(ps_f), np.asarray(ps_ref))
 
     @pytest.mark.parametrize("relax", [1.0, 1.6])
-    def test_solver_full_path_matches_scan_path(self, monkeypatch, relax):
-        """Solver-level: the one-launch whole-solve path produces the same
-        Solution as the scan-of-multi-sweep path under edge_refresh="solve"
-        — including the in-kernel over-relaxed ADMM update
+    def test_solver_full_path_matches_scan_path(self, relax):
+        """Solver-level: the one-launch whole-solve path
+        (``MPCConfig.full_solve=True`` — a jit-static config field, so the
+        two paths trace as distinct executables) produces the same Solution
+        as the scan-of-multi-sweep path under edge_refresh="solve" —
+        including the in-kernel over-relaxed ADMM update
         (cfg.admm_relax != 1)."""
         import dataclasses
 
-        from openmp_parallel_computing_tpu.models.mpc import solver as S
-
         rng = np.random.default_rng(13)
         edge = jnp.asarray(rng.uniform(0, 255, (32, 128)), jnp.float32)
-        cfg = MPCConfig(horizon=4, num_features=2, ilqr_iters=2,
-                        admm_iters=2, edge_refresh="solve",
-                        admm_relax=relax)
-        mpc = VisualServoMPC(cfg)
-        scen = mpc.random_scenarios(jax.random.PRNGKey(17), 128)
+        scen = None
         results = {}
         for flag in (False, True):
-            monkeypatch.setattr(S, "_FULL_SOLVE", flag)
-            jax.clear_caches()
+            cfg = MPCConfig(horizon=4, num_features=2, ilqr_iters=2,
+                            admm_iters=2, edge_refresh="solve",
+                            admm_relax=relax, full_solve=flag)
+            mpc = VisualServoMPC(cfg)
+            if scen is None:
+                scen = mpc.random_scenarios(jax.random.PRNGKey(17), 128)
             sol = mpc.solve_batch(edge, scen)
             results[flag] = jax.tree.map(np.asarray, sol)
         for a, b in zip(results[False], results[True]):

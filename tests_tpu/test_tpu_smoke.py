@@ -134,14 +134,12 @@ class TestSolverLowering:
         np.testing.assert_allclose(u0_s, u0_r, rtol=5e-4, atol=5e-4)
         np.testing.assert_allclose(cost_s, cost_r, rtol=5e-4, atol=5e-4)
 
-    def test_full_solve_path_matches_reference(self, monkeypatch):
+    def test_full_solve_path_matches_reference(self):
         """The one-launch whole-solve kernel (``sweep_pallas.full_solve``)
-        is off by default (``solver._FULL_SOLVE=False`` — measured
-        perf-neutral); flip the flag so the compiled Mosaic lowering of
-        the kernel itself is covered, and check against the XLA reference
-        under the same edge_refresh="solve" schedule."""
-        from openmp_parallel_computing_tpu.models.mpc import solver as S
-        monkeypatch.setattr(S, "_FULL_SOLVE", True)
+        is off by default (``MPCConfig.full_solve=False``); enable it via
+        the config so the compiled Mosaic lowering of the kernel itself is
+        covered, and check against the XLA reference under the same
+        edge_refresh="solve" schedule."""
         b, m, h = 128, 2, 6
         scen = Scenario(
             p0=jnp.asarray(RNG.uniform(-.6, .6, (b, 2 * m)), jnp.float32),
@@ -153,7 +151,8 @@ class TestSolverLowering:
         def solve(backend):
             cfg = MPCConfig(horizon=h, num_features=m, ilqr_iters=2,
                             admm_iters=2, backend=backend,
-                            edge_refresh="solve")
+                            edge_refresh="solve",
+                            full_solve=(backend == "sweep"))
             mpc = VisualServoMPC(cfg)
             u0, sol = mpc.control_step(RGB, scen)
             return fetch(u0), fetch(sol.cost)
