@@ -294,6 +294,11 @@ def edge_vg_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
             """Hat weights and their d/d(level coord) from ONE one-hot
             pair (same trick as the Pallas kernel): with a = onehot(c0),
             b = onehot(c0+1): w = a + f*(b-a), dw = b - a."""
+            if size == 1:
+                # degenerate single-cell axis (_hat_weights' convention):
+                # constant weight, zero gradient
+                one = jnp.ones(cl.shape + (1,), cl.dtype)
+                return one, jnp.zeros_like(one)
             grid = jnp.arange(size, dtype=cl.dtype)
             c0 = jnp.clip(jnp.floor(cl), 0.0, float(size - 2))[..., None]
             f = cl[..., None] - c0

@@ -95,21 +95,31 @@ def _sample_kernel(x_ref, y_ref, *refs, shapes, scales, h_img, w_img,
         y0 = jnp.clip(jnp.floor(yl).astype(jnp.int32), 0, hf - 2)
         fx = xl - x0.astype(jnp.float32)
         fy = yl - y0.astype(jnp.float32)
-        jx = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], wf), 1)
-        jy = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], hf), 1)
         # One wide compare pair per axis, reused by the weight AND its
         # derivative: with a = onehot(x0), b = onehot(x0+1),
         #   wx  = a + fx * (b - a)        dwx = b - a
         # (halves the VPU weight-build work vs building wx and dwx from
-        # four independent masked selects).
-        ax = jnp.where(jx == x0, 1.0, 0.0)
-        bx = jnp.where(jx == x0 + 1, 1.0, 0.0)
-        dwx = bx - ax                                        # (T, wf)
-        wx = ax + fx * dwx
-        ay = jnp.where(jy == y0, 1.0, 0.0)
-        by = jnp.where(jy == y0 + 1, 1.0, 0.0)
-        dwy = by - ay                                        # (T, hf)
-        wy = ay + fy * dwy
+        # four independent masked selects). A degenerate single-cell axis
+        # gets constant weight / zero derivative (_hat_weights'
+        # convention; the pair construction is meaningless at size 1).
+        if wf == 1:
+            wx = jnp.ones((xn.shape[0], 1), jnp.float32)
+            dwx = jnp.zeros_like(wx)
+        else:
+            jx = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], wf), 1)
+            ax = jnp.where(jx == x0, 1.0, 0.0)
+            bx = jnp.where(jx == x0 + 1, 1.0, 0.0)
+            dwx = bx - ax                                    # (T, wf)
+            wx = ax + fx * dwx
+        if hf == 1:
+            wy = jnp.ones((xn.shape[0], 1), jnp.float32)
+            dwy = jnp.zeros_like(wy)
+        else:
+            jy = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], hf), 1)
+            ay = jnp.where(jy == y0, 1.0, 0.0)
+            by = jnp.where(jy == y0 + 1, 1.0, 0.0)
+            dwy = by - ay                                    # (T, hf)
+            wy = ay + fy * dwy
 
         # t2[p, i] = sum_j L[i, j] wx[p, j] — the column interpolation of
         # every level row; e = wy . t2 finishes the bilinear sample.

@@ -87,9 +87,14 @@ class MPCConfig:
     #              negative result in sampler_study_r4.json /
     #              sampler_kernel_study_r4.json): kept as an
     #              equivalence-tested audit path, not a default.
-    # Numerically equivalent (tested); the default is chosen by on-chip
-    # A/B per regime (results/tpu_v5e/sampler_study_r4.json).
-    edge_sampler: str = "xla"
+    # Numerically equivalent (tested). Default "analytic" by on-chip A/B
+    # (results/tpu_v5e/sampler_study_r4b.json, sampler_kernel_study_r4.json):
+    # parity with the autodiff path at <=4096-scenario batches
+    # (0.99-1.00x, launch-bound regime) and +27-29% where the weight
+    # tensors go HBM-bound (H=20 @ 16384: 497k -> 632k solves/s; H=50 @
+    # 4096: 237k -> 306k — flattening BASELINE config 5 to within ~5%
+    # of its small-batch rate).
+    edge_sampler: str = "analytic"
     # Whole-ADMM one-launch kernel (sweep backend, edge_refresh="solve"
     # only): run the ENTIRE ADMM loop — every iLQR sweep, the z/y
     # projection/dual updates, and the final feasible rollout — as one

@@ -297,6 +297,33 @@ class TestAnalyticSampler:
                                    np.asarray(g_want[:, m:]),
                                    rtol=1e-4, atol=1e-6)
 
+    def test_degenerate_single_cell_axis(self):
+        """A 64-px-tall map's 64x-pooled level is 1 cell tall: the
+        degenerate axis must give constant weight / ZERO gradient
+        (_hat_weights' convention) — regression: the one-hot-pair builder
+        produced garbage weights from clip(floor, 0, size-2) at size=1,
+        flipping the solve's edge-attraction direction."""
+        rng = np.random.default_rng(19)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        pyramid = costs.build_cost_pyramid(edge)
+        assert pyramid[1].shape[0] == 1     # the degenerate geometry
+        x = jnp.asarray(rng.uniform(-1, 1, (3, 2, 8)), jnp.float32)
+        y = jnp.asarray(rng.uniform(-1, 1, (3, 2, 8)), jnp.float32)
+
+        def val_sum(q):
+            return jnp.sum(costs.edge_cost_pyramid_xy(
+                pyramid, q[:, :2], q[:, 2:], 64, 128))
+
+        g_want = jax.grad(val_sum)(jnp.concatenate([x, y], axis=1))
+        v_want = costs.edge_cost_pyramid_xy(pyramid, x, y, 64, 128)
+        v, gx, gy = costs.edge_vg_pyramid_xy(pyramid, x, y, 64, 128)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_want),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(g_want[:, :2]),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(g_want[:, 2:]),
+                                   rtol=1e-4, atol=1e-6)
+
     @pytest.mark.parametrize("edge_refresh", ["solve", "admm"])
     def test_solver_equivalence_vs_xla(self, edge_refresh):
         """Full sweep-backend solve: edge_sampler="analytic" reproduces
