@@ -12,8 +12,11 @@ pipeline-hide anything; sync is a result-dependent fetch.
 Usage::
 
     python -m openmp_parallel_computing_tpu.bench.sampler_kernel_study \
-        [--points 21x8x4096,51x8x4096,21x8x16384] [--tiles 512,2048,4096] \
+        [--points 21x8x4096,51x8x4096,21x8x16384] [--tiles 512,1024] \
         [--steps 50] [--trials 3] [--out results/tpu_v5e/...]
+
+(Pallas tiles ≥2048 exceed the ~16 MB VMEM scope at ~6 KB/point of
+weight/derivative/matmul working set — recorded as "vmem-oom" rows.)
 """
 
 from __future__ import annotations
