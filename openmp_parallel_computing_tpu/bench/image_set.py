@@ -42,11 +42,16 @@ def edge_images_set(out_dir: str | Path, runs: int = 3,
     the full fixture set (1080p -> 6 MP). Returns and writes
     {fixture_name: avg wall seconds per run of ``passes`` device passes}
     (kernel-only timing, like the monolithic driver's compute region)."""
+    import tempfile
+
     out: dict[str, float] = {}
     for name, path in data.fixture_set().items():
-        rows = bench_kernel(path, workers=(1,), runs=runs, passes=passes,
-                            kernel="edge",
-                            out_dir=Path(out_dir) / f".edge_{name}")
+        # Per-image harness CSVs/plots are intermediates; only the summary
+        # JSON is the committed artifact, so they go to a temp dir.
+        with tempfile.TemporaryDirectory() as tmp:
+            rows = bench_kernel(path, workers=(1,), runs=runs,
+                                passes=passes, kernel="edge",
+                                out_dir=Path(tmp) / f"edge_{name}")
         out[name] = rows[0].avg_real_s
     dst = Path(out_dir) / "edge_images_set.json"
     dst.parent.mkdir(parents=True, exist_ok=True)
