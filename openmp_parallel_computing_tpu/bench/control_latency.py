@@ -190,22 +190,26 @@ def run_study(buckets=(1, 2, 4, 8, 16), runs: int = 40, horizon: int = 20,
                     batched.append(nb)
 
             def pct(xs, p):
+                # None (valid JSON null), not NaN: json.dump would emit a
+                # bare NaN token that strict parsers reject.
                 if not xs:                  # every request shed this level
-                    return float("nan")
-                return float(np.percentile(np.asarray(xs), p))
+                    return None
+                return round(float(np.percentile(np.asarray(xs), p)), 2)
 
+            p99 = pct(e2e, 99)
             row = {
                 "concurrency": b,
                 "samples": len(e2e),
                 "shed": shed,
-                "shed_reject_ms_p50": (round(pct(shed_ms, 50), 2)
-                                       if shed_ms else None),
-                "e2e_ms_p50": round(pct(e2e, 50), 2),
-                "e2e_ms_p99": round(pct(e2e, 99), 2),
-                "compute_ms_p50": round(pct(comp, 50), 2),
-                "compute_ms_p99": round(pct(comp, 99), 2),
-                "mean_batched": round(float(np.mean(batched)), 2),
-                "e2e_p99_within_budget": pct(e2e, 99) <= budget_ms,
+                "shed_reject_ms_p50": pct(shed_ms, 50),
+                "e2e_ms_p50": pct(e2e, 50),
+                "e2e_ms_p99": p99,
+                "compute_ms_p50": pct(comp, 50),
+                "compute_ms_p99": pct(comp, 99),
+                "mean_batched": (round(float(np.mean(batched)), 2)
+                                 if batched else None),
+                "e2e_p99_within_budget": (p99 <= budget_ms
+                                          if p99 is not None else None),
             }
             rows.append(row)
             print(json.dumps(row), flush=True)

@@ -52,9 +52,13 @@ import os
 def trace_footprint(data: int, model: int, scenarios: int, horizon: int):
     """Trace the pod-shape distributed step on a virtual CPU mesh and
     return (footprint summary dict, per-step DCN/ICI byte totals)."""
-    os.environ.setdefault("XLA_FLAGS",
-                          "--xla_force_host_platform_device_count="
-                          f"{data * model}")
+    # Append to any pre-existing XLA_FLAGS (setdefault would silently
+    # drop the device-count request and the mesh build would fail).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{data * model}").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

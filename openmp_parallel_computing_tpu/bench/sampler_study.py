@@ -68,10 +68,13 @@ def run(h20_batches, h50_batches, solves: int, trials: int,
                 row[f"{sampler}_solves_per_s"] = int(
                     statistics.median(vals))
                 row[f"{sampler}_trials"] = [int(v) for v in vals]
+            # First listed sampler is the ratio baseline (not a
+            # hard-coded "xla": --samplers analytic,pallas must work).
+            base = samplers[0]
             for sampler in samplers[1:]:
-                row[f"{sampler}_over_xla"] = round(
+                row[f"{sampler}_over_{base}"] = round(
                     row[f"{sampler}_solves_per_s"]
-                    / row["xla_solves_per_s"], 4)
+                    / row[f"{base}_solves_per_s"], 4)
             rows.append(row)
             print(json.dumps(row), flush=True)
     return rows

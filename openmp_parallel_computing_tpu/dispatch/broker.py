@@ -57,10 +57,16 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
-from openmp_parallel_computing_tpu.dispatch.queue import DurableQueue, Job
+from openmp_parallel_computing_tpu.dispatch.queue import (
+    DurableQueue, Job, consume_loop)
 from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+class BrokerError(RuntimeError):
+    """A broker-side failure (non-2xx response). Transient by assumption:
+    consumers retry through it (see ``queue.consume_loop``)."""
 
 
 class _BrokerState:
@@ -269,6 +275,24 @@ class _HttpClient:
         code, body = self.request(method, path, data)
         return code, (json.loads(body) if body else {})
 
+    def stream(self, path: str):
+        """GET returning the OPEN response object (caller closes) so large
+        bodies can be consumed incrementally; same retry posture as
+        ``request``. Raises HTTPError for non-2xx (caller maps 404)."""
+        req = urllib.request.Request(self.base + path, method="GET")
+        last: Exception | None = None
+        for attempt in range(self.retries):
+            try:
+                return urllib.request.urlopen(req, timeout=60)
+            except urllib.error.HTTPError:
+                raise
+            except urllib.error.URLError as exc:
+                last = exc
+                if attempt + 1 < self.retries:
+                    time.sleep(self.retry_delay_s)
+        raise ConnectionError(
+            f"broker unreachable at {self.base}: {last!r}")
+
 
 class NetJob:
     """Claimed network job: same consumer-facing fields as ``Job``."""
@@ -294,7 +318,7 @@ class NetworkQueue:
     def publish(self, body: dict) -> str:
         code, out = self._c.json("POST", f"/q/{self.name}/publish", body)
         if code != 200:
-            raise RuntimeError(f"publish failed ({code}): {out}")
+            raise BrokerError(f"publish failed ({code}): {out}")
         return out["id"]
 
     def claim(self) -> NetJob | None:
@@ -302,36 +326,37 @@ class NetworkQueue:
         if code == 204:
             return None
         if code != 200:
-            raise RuntimeError(f"claim failed ({code}): {out}")
+            raise BrokerError(f"claim failed ({code}): {out}")
         return NetJob(id=out["id"], body=out["body"], token=out["token"])
 
     def ack(self, job: NetJob) -> None:
-        self._c.json("POST", f"/q/{self.name}/ack", {"token": job.token})
+        code, out = self._c.json("POST", f"/q/{self.name}/ack",
+                                 {"token": job.token})
+        if code != 204:
+            # Surface it: a swallowed ack failure is invisible duplicate
+            # work (the message stays inflight and redelivers).
+            raise BrokerError(f"ack failed ({code}): {out}")
 
     def nack(self, job: NetJob) -> None:
-        self._c.json("POST", f"/q/{self.name}/nack", {"token": job.token})
+        code, out = self._c.json("POST", f"/q/{self.name}/nack",
+                                 {"token": job.token})
+        if code != 204:
+            raise BrokerError(f"nack failed ({code}): {out}")
 
     def depth(self) -> int:
         code, out = self._c.json("GET", f"/q/{self.name}/depth")
         if code != 200:
-            raise RuntimeError(f"depth failed ({code}): {out}")
+            raise BrokerError(f"depth failed ({code}): {out}")
         return out["depth"]
 
     def consume(self, callback, poll_interval_s: float = 0.5,
                 stop_when_empty: bool = False) -> None:
-        while True:
-            job = self.claim()
-            if job is None:
-                if stop_when_empty:
-                    return
-                time.sleep(poll_interval_s)
-                continue
-            try:
-                callback(job.body)
-            except Exception:
-                self.nack(job)
-                raise
-            self.ack(job)
+        # One copy of the at-least-once loop (queue.consume_loop), with
+        # broker transport errors retried rather than killing the
+        # consumer — the reference worker's connect-retry posture.
+        consume_loop(self, callback, poll_interval_s=poll_interval_s,
+                     stop_when_empty=stop_when_empty,
+                     transport_errors=(ConnectionError, BrokerError))
 
 
 class NetworkStore:
@@ -366,9 +391,22 @@ class NetworkStore:
         return body
 
     def get_stream(self, key: str, chunk_size: int = 32 * 1024):
-        data = self.get(key)
-        for i in range(0, len(data), chunk_size):
-            yield data[i:i + chunk_size]
+        # True streaming (the ObjectStore contract, itself mirroring the
+        # reference's 32 KiB chunked download,
+        # grayscale_service/app.py:46-51): read the response body
+        # incrementally instead of buffering the whole object.
+        try:
+            resp = self._c.stream(self._k(key))
+        except urllib.error.HTTPError as exc:
+            if exc.code == 404:
+                raise FileNotFoundError(key) from None
+            raise BrokerError(f"get {key!r} failed ({exc.code})") from None
+        with resp:
+            while True:
+                chunk = resp.read(chunk_size)
+                if not chunk:
+                    return
+                yield chunk
 
     def exists(self, key: str) -> bool:
         code, _ = self._c.request("HEAD", self._k(key))

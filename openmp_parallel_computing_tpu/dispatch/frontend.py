@@ -23,6 +23,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import PurePosixPath
 
 from openmp_parallel_computing_tpu.dispatch.broker import (
+    BrokerError,
     make_queue,
     make_store,
 )
@@ -141,15 +142,21 @@ class FrontendState:
         self._consumer.start()
 
     def _consume(self) -> None:
-        # Background consumer thread (frontend/app.py:37-59).
+        # Background consumer thread (frontend/app.py:37-59). Transport
+        # errors from a network-backed queue (broker restart/outage) are
+        # retried, not fatal: a dead daemon thread would strand every
+        # later completion unacked with no visible symptom.
         while not self._stop.is_set():
-            job = self.done.claim()
-            if job is None:
-                self._stop.wait(0.3)
-                continue
-            with self._lock:
-                self.processed[job.body["image_key"]] = job.body
-            self.done.ack(job)
+            try:
+                job = self.done.claim()
+                if job is None:
+                    self._stop.wait(0.3)
+                    continue
+                with self._lock:
+                    self.processed[job.body["image_key"]] = job.body
+                self.done.ack(job)
+            except (ConnectionError, BrokerError):
+                self._stop.wait(5.0)  # broker back soon; claims redeliver
 
     def submit(self, filename: str, data: bytes, threads: list[int],
                repeat: int, passes: int, kernel: str) -> str:

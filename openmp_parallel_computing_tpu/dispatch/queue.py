@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -54,6 +55,10 @@ class DurableQueue:
         # sort to once per len(backlog) claims instead of every poll.
         self._claim_cache: list[str] = []
         self._last_requeue_sweep = 0.0
+        # Cross-PROCESS claims race via atomic rename; threads SHARING one
+        # instance (the network broker's ThreadingHTTPServer handlers)
+        # additionally race on the cache's check-then-pop, so guard it.
+        self._cache_lock = threading.Lock()
 
     # -- producer ---------------------------------------------------------
 
@@ -85,15 +90,18 @@ class DurableQueue:
         """Claim the oldest message, or None if the queue is empty."""
         self._requeue_expired()
         while True:
-            if not self._claim_cache:
-                # Refresh the index (reverse-sorted so pop() is O(1) and
-                # takes the oldest). Redelivered messages keep their old
-                # timestamped names and are picked up here too.
-                self._claim_cache = sorted(
-                    (p.name for p in self.new.glob("*.json")), reverse=True)
+            with self._cache_lock:
                 if not self._claim_cache:
-                    return None
-            name = self._claim_cache.pop()
+                    # Refresh the index (reverse-sorted so pop() is O(1)
+                    # and takes the oldest). Redelivered messages keep
+                    # their old timestamped names and are picked up here
+                    # too.
+                    self._claim_cache = sorted(
+                        (p.name for p in self.new.glob("*.json")),
+                        reverse=True)
+                    if not self._claim_cache:
+                        return None
+                name = self._claim_cache.pop()
             src, dst = self.new / name, self.inflight / name
             try:
                 os.replace(src, dst)
@@ -129,19 +137,58 @@ class DurableQueue:
         """Blocking consume loop (the worker's ``start_consuming``,
         grayscale_service/app.py:92-94). ``callback(body) -> None``; an
         exception nacks the message for redelivery."""
-        while True:
-            job = self.claim()
-            if job is None:
-                if stop_when_empty:
-                    return
-                time.sleep(poll_interval_s)
-                continue
-            try:
-                callback(job.body)
-            except Exception:
-                self.nack(job)
-                raise
-            self.ack(job)
+        consume_loop(self, callback, poll_interval_s=poll_interval_s,
+                     stop_when_empty=stop_when_empty)
 
     def depth(self) -> int:
         return len(list(self.new.glob("*.json")))
+
+
+def consume_loop(queue, callback, poll_interval_s: float = 0.5,
+                 stop_when_empty: bool = False,
+                 transport_errors: tuple = (),
+                 transport_retry_s: float = 5.0) -> None:
+    """The at-least-once consume loop, shared by the filesystem and
+    network queue backends (one copy of the semantics; broker.py's
+    NetworkQueue delegates here too).
+
+    ``callback(body) -> None``; an exception nacks the message for
+    redelivery and re-raises. ``transport_errors`` lists exception types
+    the QUEUE itself may raise transiently (a network backend losing its
+    broker); in daemon mode (``stop_when_empty=False``) the loop logs,
+    sleeps ``transport_retry_s`` and keeps consuming — the reference
+    worker's connect-retry posture (grayscale_service/app.py:24-31) —
+    instead of dying permanently on a broker hiccup. A failed ack is
+    only logged: the claim's visibility timeout redelivers the message,
+    which is exactly at-least-once delivery."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    while True:
+        try:
+            job = queue.claim()
+        except transport_errors as exc:
+            if stop_when_empty:
+                raise  # interactive drain: surface the failure
+            log.warning("queue claim failed (%r); retrying in %.1fs",
+                        exc, transport_retry_s)
+            time.sleep(transport_retry_s)
+            continue
+        if job is None:
+            if stop_when_empty:
+                return
+            time.sleep(poll_interval_s)
+            continue
+        try:
+            callback(job.body)
+        except Exception:
+            try:
+                queue.nack(job)
+            except transport_errors:
+                pass  # visibility timeout redelivers anyway
+            raise
+        try:
+            queue.ack(job)
+        except transport_errors as exc:
+            log.warning("ack of %s failed (%r); message will redeliver "
+                        "after the visibility timeout", job.id, exc)

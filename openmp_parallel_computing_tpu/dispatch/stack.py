@@ -35,10 +35,11 @@ def _worker_main(cfg: DispatchConfig) -> None:
     Worker(cfg).run()
 
 
-def _broker_main(root: str, port: int) -> None:
+def _broker_main(root: str, port: int, visibility_timeout_s: float) -> None:
     from openmp_parallel_computing_tpu.dispatch.broker import serve_broker
 
-    serve_broker(root, host="127.0.0.1", port=port).serve_forever()
+    serve_broker(root, host="127.0.0.1", port=port,
+                 visibility_timeout_s=visibility_timeout_s).serve_forever()
 
 
 def main(argv=None) -> int:
@@ -66,8 +67,14 @@ def main(argv=None) -> int:
     if args.broker_port:
         from openmp_parallel_computing_tpu.dispatch.broker import _HttpClient
 
-        broker = ctx.Process(target=_broker_main,
-                             args=(cfg.root, args.broker_port), daemon=True)
+        # The visibility timeout is broker-side state (NetworkQueue only
+        # forwards claims); the embedded broker must inherit the config's
+        # value or long first-compile MPC jobs would get swept back to
+        # new/ mid-run at the 60 s default.
+        broker = ctx.Process(
+            target=_broker_main,
+            args=(cfg.root, args.broker_port, cfg.visibility_timeout_s),
+            daemon=True)
         broker.start()
         url = f"http://127.0.0.1:{args.broker_port}"
         _HttpClient(url, retries=20, retry_delay_s=0.25).json(

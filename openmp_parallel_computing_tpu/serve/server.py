@@ -28,6 +28,7 @@ import email.parser
 import email.policy
 import functools
 import json
+import math
 import queue as queue_mod
 import tempfile
 import threading
@@ -500,8 +501,10 @@ def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
     deadline_s: float | None = None
     if "deadline_ms" in fields:
         raw_deadline = float(str(fields["deadline_ms"]))
-        if raw_deadline < 0:
-            raise ValueError("deadline_ms must be >= 0")
+        # NaN passes `< 0` and is truthy — it would silently disable
+        # every shed comparison; only the explicit 0 opts out.
+        if not math.isfinite(raw_deadline) or raw_deadline < 0:
+            raise ValueError("deadline_ms must be a finite number >= 0")
         deadline_s = raw_deadline / 1e3 if raw_deadline else float("inf")
     chw = np.ascontiguousarray(np.transpose(frame_hwc, (2, 0, 1)))
     return _batcher.submit(chw, p0, target, depth, horizon,

@@ -347,6 +347,58 @@ print(json.dumps(seen))
         assert sorted(mine + theirs) == list(range(n))
         assert q.depth() == 0
 
+    def test_concurrent_client_threads_claim_exactly_once(self, broker):
+        """Many keep-alive client threads drive one broker process —
+        whose handler threads share one DurableQueue. Pre-fix the shared
+        claim cache raced (IndexError -> 500 -> BrokerError here)."""
+        import threading
+
+        from openmp_parallel_computing_tpu.dispatch.broker import (
+            NetworkQueue)
+
+        q = NetworkQueue(broker, "conc", retries=2, retry_delay_s=0.1)
+        n = 60
+        for i in range(n):
+            q.publish({"i": i})
+        claimed: list[int] = []
+        errors: list[BaseException] = []
+        lock = threading.Lock()
+
+        def drain():
+            cq = NetworkQueue(broker, "conc", retries=2, retry_delay_s=0.1)
+            try:
+                while True:
+                    job = cq.claim()
+                    if job is None:
+                        return
+                    with lock:
+                        claimed.append(job.body["i"])
+                    cq.ack(job)
+            except BaseException as exc:
+                errors.append(exc)
+
+        threads = [threading.Thread(target=drain) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert sorted(claimed) == list(range(n))
+        assert q.depth() == 0
+
+    def test_ack_with_forged_token_raises(self, broker):
+        """ack/nack surface broker-side rejection instead of swallowing
+        it (a silently failed ack is invisible duplicate work)."""
+        from openmp_parallel_computing_tpu.dispatch.broker import (
+            BrokerError, NetJob, NetworkQueue)
+
+        q = NetworkQueue(broker, "jobs", retries=2, retry_delay_s=0.1)
+        forged = NetJob(id="x", body={}, token="../escape.json")
+        with pytest.raises(BrokerError):
+            q.ack(forged)
+        with pytest.raises(BrokerError):
+            q.nack(forged)
+
     def test_worker_and_frontend_accept_broker_url(self, broker):
         """The tier's components construct against an http:// root: the
         frontend publishes through the wire, the worker consumes and
@@ -382,3 +434,129 @@ print(json.dumps(seen))
             assert state.store.exists(st["processed_key"])
         finally:
             state.shutdown()
+
+
+class TestBrokerThreadSafety:
+    """One broker process serves many handler THREADS over one shared
+    DurableQueue instance — the sharing pattern the filesystem queue
+    never saw before the broker existed (cross-process claims race via
+    atomic rename; threads race on the claim cache's check-then-pop)."""
+
+    def test_threads_sharing_one_durable_queue_claim_exactly_once(
+            self, tmp_path):
+        import threading
+
+        q = DurableQueue(tmp_path, "jobs")
+        n = 200
+        for i in range(n):
+            q.publish({"i": i})
+        claimed: list[int] = []
+        errors: list[BaseException] = []
+        lock = threading.Lock()
+
+        def drain():
+            try:
+                while True:
+                    job = q.claim()
+                    if job is None:
+                        return
+                    with lock:
+                        claimed.append(job.body["i"])
+                    q.ack(job)
+            except BaseException as exc:  # pre-fix: IndexError pop race
+                errors.append(exc)
+
+        threads = [threading.Thread(target=drain) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert sorted(claimed) == list(range(n))
+        assert q.depth() == 0
+
+
+class TestConsumeLoop:
+    """The shared at-least-once consume loop (queue.consume_loop): one
+    copy of the semantics for both backends, resilient to the transport
+    errors only the network backend can raise."""
+
+    class _StubQueue:
+        def __init__(self, claim_script):
+            self.script = list(claim_script)
+            self.acked: list[str] = []
+            self.nacked: list[str] = []
+
+        def claim(self):
+            item = self.script.pop(0)
+            if isinstance(item, BaseException):
+                raise item
+            return item
+
+        def ack(self, job):
+            self.acked.append(job.id)
+
+        def nack(self, job):
+            self.nacked.append(job.id)
+
+    def test_transient_claim_error_retried_in_daemon_mode(self):
+        from openmp_parallel_computing_tpu.dispatch.broker import (
+            BrokerError, NetJob)
+        from openmp_parallel_computing_tpu.dispatch.queue import (
+            consume_loop)
+
+        job = NetJob(id="j1", body={"x": 1}, token="t")
+        stop = ValueError("stop sentinel")  # not a transport error
+        q = self._StubQueue([BrokerError("broker hiccup"), job, stop])
+        seen = []
+        with pytest.raises(ValueError, match="stop sentinel"):
+            consume_loop(q, lambda body: seen.append(body),
+                         poll_interval_s=0.0,
+                         transport_errors=(ConnectionError, BrokerError),
+                         transport_retry_s=0.0)
+        assert seen == [{"x": 1}]        # survived the hiccup, processed
+        assert q.acked == ["j1"]
+
+    def test_stop_when_empty_surfaces_transport_error(self):
+        from openmp_parallel_computing_tpu.dispatch.broker import (
+            BrokerError)
+        from openmp_parallel_computing_tpu.dispatch.queue import (
+            consume_loop)
+
+        q = self._StubQueue([ConnectionError("unreachable")])
+        with pytest.raises(ConnectionError):
+            consume_loop(q, lambda body: None, stop_when_empty=True,
+                         transport_errors=(ConnectionError, BrokerError))
+
+    def test_failed_ack_logged_not_fatal(self):
+        from openmp_parallel_computing_tpu.dispatch.broker import (
+            BrokerError, NetJob)
+        from openmp_parallel_computing_tpu.dispatch.queue import (
+            consume_loop)
+
+        class AckFails(self._StubQueue):
+            def ack(self, job):
+                raise BrokerError("ack failed (500)")
+
+        job = NetJob(id="j1", body={"x": 1}, token="t")
+        stop = ValueError("stop sentinel")
+        q = AckFails([job, stop])
+        seen = []
+        # At-least-once: the failed ack means redelivery, not a crash.
+        with pytest.raises(ValueError, match="stop sentinel"):
+            consume_loop(q, lambda body: seen.append(body),
+                         transport_errors=(ConnectionError, BrokerError),
+                         transport_retry_s=0.0)
+        assert seen == [{"x": 1}]
+
+    def test_callback_error_nacks_and_reraises(self):
+        from openmp_parallel_computing_tpu.dispatch.broker import NetJob
+        from openmp_parallel_computing_tpu.dispatch.queue import (
+            consume_loop)
+
+        job = NetJob(id="j1", body={}, token="t")
+        q = self._StubQueue([job])
+        with pytest.raises(RuntimeError, match="boom"):
+            consume_loop(q, lambda body: (_ for _ in ()).throw(
+                RuntimeError("boom")))
+        assert q.nacked == ["j1"] and not q.acked

@@ -249,6 +249,17 @@ class TestAdmissionControl:
             assert resp.status_code == 503
             assert float(resp.headers["Retry-After"]) > 0
             assert resp.json()["predicted_wait_s"] > 0.05
+
+            # NaN is not a deadline: it passes `< 0` and is truthy, so
+            # unvalidated it would silently disable every shed
+            # comparison (worse than the explicit deadline_ms=0 opt-out:
+            # the client THINKS it has a staleness bound). Must 400.
+            with open(p, "rb") as f:
+                resp = requests.post(url, files={"image": f}, data={
+                    "p0": fmt(s.p0[0]), "target": fmt(s.target[0]),
+                    "depth": fmt(s.depth[0]), "horizon": str(H),
+                    "deadline_ms": "nan"})
+            assert resp.status_code == 400
         finally:
             if old is None:
                 srv._batcher._solve_s.pop(key, None)
