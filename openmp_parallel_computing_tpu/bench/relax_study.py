@@ -100,9 +100,17 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
     edge_map = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
 
     rows = []
-    for ilqr, admm, relax in configs:
+    for config in configs:
+        # (ilqr, admm, relax) or (ilqr, admm, relax, dual_carry): the
+        # 4th element turns on the ADMM dual warm start across frames
+        # (MPCConfig.dual_warm_start — Scenario.y0 carries the shifted
+        # scaled duals, the closed-loop regime where warm-started ADMM
+        # classically needs fewer iterations).
+        ilqr, admm, relax = config[:3]
+        dual = bool(config[3]) if len(config) > 3 else False
         cfg = MPCConfig(ilqr_iters=ilqr, admm_iters=admm, admm_relax=relax,
-                        backend="reference", edge_refresh=edge_refresh)
+                        backend="reference", edge_refresh=edge_refresh,
+                        dual_warm_start=dual)
         mpc = VisualServoMPC(cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(seed), scenarios)
         err0 = float(jnp.mean(jnp.abs(scen.p0 - scen.target)))
@@ -110,17 +118,24 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
         for _ in range(frames):
             sol = mpc.solve_batch(edge_map, scen)
             # MPCRuntime.step: advance to the predicted next state, shift
-            # the optimized controls one step.
+            # the optimized controls one step (and the duals, when warm-
+            # started).
             shifted = jnp.concatenate(
                 [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
-            scen = scen._replace(p0=sol.ps[:, 1], us0=shifted)
+            y0 = None
+            if dual:
+                y0 = jnp.concatenate(
+                    [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])],
+                    axis=1)
+            scen = scen._replace(p0=sol.ps[:, 1], us0=shifted, y0=y0)
             errs.append(float(jnp.mean(jnp.abs(scen.p0 - scen.target))))
             costs.append(float(jnp.mean(sol.cost)))
         rows.append({
-            "ilqr": ilqr, "admm": admm, "relax": relax,
+            "ilqr": ilqr, "admm": admm, "relax": relax, "dual": dual,
             "sweeps": ilqr * admm, "err0": round(err0, 4),
             "mean_abs_err_by_frame": [round(e, 4) for e in errs],
             "final_err": round(errs[-1], 4),
+            "mean_cost_by_frame": [round(c, 4) for c in costs],
             "final_mean_cost": round(costs[-1], 4),
         })
         print(json.dumps(rows[-1]), flush=True)
@@ -146,6 +161,10 @@ def main() -> None:
     ap.add_argument("--loop", type=int, default=0, metavar="FRAMES",
                     help="closed-loop mode: run FRAMES warm-started solves "
                          "per config (configs = the budgets grid x relaxes)")
+    ap.add_argument("--dual", action="store_true",
+                    help="closed-loop mode: also run every config with the "
+                         "ADMM dual warm start carried across frames "
+                         "(MPCConfig.dual_warm_start)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -157,7 +176,9 @@ def main() -> None:
     budgets = [tuple(int(v) for v in b.split("x"))
                for b in args.budgets.split(",")]
     if args.loop:
-        configs = [(i, a, rx) for (i, a) in budgets for rx in relaxes]
+        duals = (False, True) if args.dual else (False,)
+        configs = [(i, a, rx, d) for (i, a) in budgets for rx in relaxes
+                   for d in duals]
         out = run_loop(args.scenarios, args.loop, args.edge_refresh,
                        configs, seed=args.seed)
     else:

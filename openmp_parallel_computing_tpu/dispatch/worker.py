@@ -268,7 +268,8 @@ class Worker:
             pad = (-take) % devices
             idx = np.concatenate([np.arange(lo, hi),
                                   np.full(pad, hi - 1, np.int64)])
-            part = Scenario(*(np.asarray(a)[idx] for a in scen))
+            part = Scenario(*(None if a is None else np.asarray(a)[idx]
+                              for a in scen))
             t0 = time.perf_counter()
             for _ in range(repeat):
                 cu0, ccost, cres = dmpc.solve_full(frame, part)

@@ -148,6 +148,13 @@ class DistributedMPC:
         return jax.tree.map(lambda a: jax.device_put(a, sharding), scen)
 
     def _prepare(self, frame, scen: Scenario):
+        if scen.y0 is not None:
+            # The shard_map in_specs are built once against the cold
+            # 4-leaf Scenario structure; dispatch-tier solves are
+            # cold-start by design (jobs arrive without solver state).
+            raise ValueError(
+                "DistributedMPC solves cold-start; Scenario.y0 (dual "
+                "warm start) applies to the receding-horizon loops")
         n_dev = self.mesh.shape[DATA] * self.mesh.shape[MODEL]
         global_batch = scen.p0.shape[0] * jax.process_count()
         if global_batch % n_dev:

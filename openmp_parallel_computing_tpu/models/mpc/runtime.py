@@ -55,8 +55,14 @@ class MPCRuntime:
         # Receding horizon: advance the predicted state, shift controls.
         shifted = jnp.concatenate(
             [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
+        # Dual warm start (MPCConfig.dual_warm_start): shift last solve's
+        # ADMM scaled duals the same way the control plan is shifted.
+        y0 = None
+        if self.cfg.dual_warm_start and sol.dual is not None:
+            y0 = jnp.concatenate(
+                [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])], axis=1)
         self.scen = Scenario(p0=sol.ps[:, 1], target=self.scen.target,
-                             depth=self.scen.depth, us0=shifted)
+                             depth=self.scen.depth, us0=shifted, y0=y0)
         self.frame_idx += 1
         if self.ckpt_dir is not None:
             self.save_checkpoint()
@@ -78,8 +84,10 @@ class MPCRuntime:
         state = checkpoint.restore(path)
         self.frame_idx = int(state["frame_idx"])
         s = state["scen"]
+        y0 = s.get("y0")  # absent in pre-dual-carry checkpoints
         self.scen = Scenario(p0=jnp.asarray(s["p0"]),
                              target=jnp.asarray(s["target"]),
                              depth=jnp.asarray(s["depth"]),
-                             us0=jnp.asarray(s["us0"]))
+                             us0=jnp.asarray(s["us0"]),
+                             y0=None if y0 is None else jnp.asarray(y0))
         return True

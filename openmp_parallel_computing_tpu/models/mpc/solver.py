@@ -161,6 +161,10 @@ class Scenario(NamedTuple):
     target: jax.Array    # (2m,) desired feature coords
     depth: jax.Array     # (m,) feature depths
     us0: jax.Array       # (H, 6) warm-start control sequence
+    # Optional ADMM scaled-dual warm start (H, 6); None = cold duals
+    # (zeros — the default, bit-identical to the pre-field solver). The
+    # receding-horizon loops carry this when MPCConfig.dual_warm_start.
+    y0: jax.Array | None = None
 
 
 class Solution(NamedTuple):
@@ -168,6 +172,10 @@ class Solution(NamedTuple):
     ps: jax.Array        # (H+1, 2m) predicted feature trajectory
     cost: jax.Array      # () final trajectory cost (unaugmented)
     primal_residual: jax.Array  # () max |us - z| over the horizon
+    # Final ADMM scaled duals (H, 6) for warm-starting the next solve
+    # (Scenario.y0); None on the full_solve kernel path (duals live and
+    # die in VMEM scratch there).
+    dual: jax.Array | None = None
 
 
 def _pyramid_batched(pyramid) -> bool:
@@ -306,7 +314,7 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
         return (us, z, y), None
 
     z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
-    y0 = jnp.zeros_like(us0)
+    y0 = scen.y0 if scen.y0 is not None else jnp.zeros_like(us0)
     (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
                                  length=cfg.admm_iters)
 
@@ -316,6 +324,7 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
         ps=ps,
         cost=riccati.trajectory_cost(stage, terminal, ps, z),
         primal_residual=jnp.max(jnp.abs(us - z)),
+        dual=y,
     )
 
 
@@ -410,7 +419,7 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
         return (us, z, y), None
 
     z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
-    y0 = jnp.zeros_like(us0)
+    y0 = scen.y0 if scen.y0 is not None else jnp.zeros_like(us0)
     (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
                                  length=cfg.admm_iters)
 
@@ -425,6 +434,7 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
         ps=ps,
         cost=quad_cost(ps, z) + edge_cost_total,
         primal_residual=jnp.max(jnp.abs(us - z), axis=(1, 2)),
+        dual=y,
     )
 
 
@@ -571,12 +581,17 @@ class _SweepLanes:
 
     # -- solve ---------------------------------------------------------------
 
-    def solve(self, p0_l, target_l, izd_l, us_l):
+    def solve(self, p0_l, target_l, izd_l, us_l, y0_l=None):
         """Full ADMM+iLQR solve in lanes layout.
 
-        Returns ``(z_l, ps_final_l, resid_l)``: the projected feasible
-        controls (h, c, *bshape), their true rollout (h+1, n, *bshape),
-        and the per-lane primal residual (*bshape)."""
+        ``y0_l``: optional warm-start scaled duals (h, c, *bshape);
+        None = cold (zeros, bit-identical to the pre-parameter solver).
+
+        Returns ``(z_l, ps_final_l, resid_l, y_l)``: the projected
+        feasible controls (h, c, *bshape), their true rollout
+        (h+1, n, *bshape), the per-lane primal residual (*bshape), and
+        the final scaled duals (h, c, *bshape) for warm-starting the
+        next solve."""
         sp, cfg, kw = self.sp, self.cfg, self.kw
         h, n, cdim, bshape = self.h, self.n, self.cdim, self.bshape
 
@@ -645,17 +660,24 @@ class _SweepLanes:
             return (us_l, ps_l, z_l, y_l, g_solve), None
 
         z0 = jnp.clip(us_l, -cfg.u_limit, cfg.u_limit)
-        y0 = jnp.zeros_like(us_l)
+        y0 = y0_l if y0_l is not None else jnp.zeros_like(us_l)
         ps_l = rollout_nominal(us_l, z0, y0)
         g_solve0 = (self.edge_grads(ps_l)
                     if cfg.edge_refresh == "solve" else None)
         if self.use_full:
+            if y0_l is not None:
+                raise ValueError(
+                    "full_solve initializes its ADMM duals in VMEM "
+                    "scratch and cannot accept a warm start; unset "
+                    "MPCConfig.full_solve (or Scenario.y0) to use "
+                    "dual warm starting")
             # Entire ADMM loop + final feasible rollout in ONE kernel
             # launch (equivalence-tested against the scan path below).
             ps_final_l, z_l, us_l = sp.full_solve(
                 p0_l, ps_l, us_l, g_solve0, target_l, izd_l,
                 sweeps=cfg.ilqr_iters, admm_iters=cfg.admm_iters,
                 u_limit=cfg.u_limit, relax=cfg.admm_relax, **kw)
+            y_l = None
         else:
             (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
                 admm_body, (us_l, ps_l, z0, y0, g_solve0), None,
@@ -664,7 +686,7 @@ class _SweepLanes:
             # Final feasible controls + their true trajectory/cost.
             ps_final_l = rollout_nominal(z_l, z_l, y_l)
         resid_l = jnp.max(jnp.abs(us_l - z_l), axis=(0, 1))
-        return z_l, ps_final_l, resid_l
+        return z_l, ps_final_l, resid_l, y_l
 
     def final_cost(self, z_l, ps_final_l, target_l):
         """Unaugmented trajectory cost, reduced per lane -> (B,)."""
@@ -688,12 +710,15 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     B = scen.us0.shape[0]
     sw = _SweepLanes(pyramid, shape, cfg, B)
     p0_l, target_l, izd_l, us_l = sw.lanes_scenario(scen)
-    z_l, ps_final_l, resid_l = sw.solve(p0_l, target_l, izd_l, us_l)
+    y0_l = sw.lanes(scen.y0, 3) if scen.y0 is not None else None
+    z_l, ps_final_l, resid_l, y_l = sw.solve(p0_l, target_l, izd_l, us_l,
+                                             y0_l)
     return Solution(
         us=sw.unlanes(z_l, 2),
         ps=_from_split(sw.unlanes(ps_final_l, 2)),
         cost=sw.final_cost(z_l, ps_final_l, target_l),
         primal_residual=sw._vec(resid_l),
+        dual=sw.unlanes(y_l, 2) if y_l is not None else None,
     )
 
 
@@ -793,6 +818,16 @@ class VisualServoMPC:
         sol = self._solve_pyramid(pyramid, frame.shape[1:], scen)
         return sol.us[:, 0], sol
 
+    def _seed_duals(self, scen: Scenario) -> Scenario:
+        """With ``cfg.dual_warm_start``, make the dual warm start part of
+        the receding-horizon carry: seed cold zeros when the caller did
+        not provide ``Scenario.y0`` (the scan carry must be
+        structure-stable). A caller-provided y0 is carried regardless of
+        the flag — it is data, not configuration."""
+        if self.cfg.dual_warm_start and scen.y0 is None:
+            return scen._replace(y0=jnp.zeros_like(scen.us0))
+        return scen
+
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def receding_horizon(self, frame: jax.Array, scen: Scenario,
                          n_frames: int):
@@ -822,13 +857,16 @@ class VisualServoMPC:
             return self._receding_lanes(lambda i: pyramid, shape, scen,
                                         n_frames)
         dt = self.cfg.dt
+        scen = self._seed_duals(scen)
 
         def body(s, _):
             sol = self._solve_pyramid(pyramid, shape, s)
             u0 = sol.us[:, 0]
             p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
                 s.p0, u0, s.depth)
-            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
+            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
+                           y0=(jnp.roll(sol.dual, -1, axis=1)
+                               if s.y0 is not None else None))
             return s, (u0, sol.cost)
 
         scen_out, (u0s, cost_seq) = jax.lax.scan(
@@ -855,29 +893,40 @@ class VisualServoMPC:
         cfg = self.cfg
         B = scen.us0.shape[0]
         dt = cfg.dt
+        dual_carry = cfg.dual_warm_start or scen.y0 is not None
         # Layout-only context (the pyramid is per-step inside the scan).
         sw0 = _SweepLanes(None, shape, cfg, B)
         p0_l, target_l, izd_l, us_l = sw0.lanes_scenario(scen)
+        # Dual warm-start carry: last solve's scaled duals, shifted like
+        # the control plan. Entering duals come from Scenario.y0 (cold
+        # zeros when absent).
+        y_l = (None if not dual_carry
+               else sw0.lanes(scen.y0, 3) if scen.y0 is not None
+               else jnp.zeros_like(us_l))
 
         def body(carry, idx):
-            p0_l, us_l = carry
+            p0_l, us_l, y_l = carry
             sw = _SweepLanes(pyramid_at(idx), shape, cfg, B)
-            z_l, ps_final_l, _ = sw.solve(p0_l, target_l, izd_l, us_l)
+            z_l, ps_final_l, _, y_out = sw.solve(p0_l, target_l, izd_l,
+                                                 us_l, y_l)
             cost = sw.final_cost(z_l, ps_final_l, target_l)
             u0_l = z_l[0]                           # (c, *bshape)
             p1_l = sp._dyn_step(p0_l, u0_l, izd_l, dt, sw.m)
-            return (p1_l, jnp.roll(z_l, -1, axis=0)), (u0_l, cost)
+            y_next = (jnp.roll(y_out, -1, axis=0) if dual_carry else None)
+            return ((p1_l, jnp.roll(z_l, -1, axis=0), y_next),
+                    (u0_l, cost))
 
         idxs = jnp.arange(n_steps, dtype=jnp.int32)
-        (p0_l, us_l), (u0s_l, cost_seq) = jax.lax.scan(
-            body, (p0_l, us_l), idxs)
+        (p0_l, us_l, y_l), (u0s_l, cost_seq) = jax.lax.scan(
+            body, (p0_l, us_l, y_l), idxs)
         # One layout conversion per WINDOW (not per step): stacked
         # (T, c, *bshape) -> (T, B, c); scenario back to the public layout.
         u0s = jnp.transpose(
             u0s_l.reshape(u0s_l.shape[:2] + (sw0.Bp,)), (0, 2, 1))[:, :B]
         scen_out = scen._replace(
             p0=_from_split(sw0.unlanes(p0_l, 1)),
-            us0=sw0.unlanes(us_l, 2))
+            us0=sw0.unlanes(us_l, 2),
+            y0=sw0.unlanes(y_l, 2) if y_l is not None else scen.y0)
         return u0s, cost_seq, scen_out
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -914,6 +963,7 @@ class VisualServoMPC:
 
         if self.cfg.backend == "sweep":
             return self._receding_lanes(pyramid_at, shape, scen, n_steps)
+        scen = self._seed_duals(scen)
 
         def body(s, idx):
             pyramid = pyramid_at(idx)
@@ -921,7 +971,9 @@ class VisualServoMPC:
             u0 = sol.us[:, 0]
             p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
                 s.p0, u0, s.depth)
-            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1))
+            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
+                           y0=(jnp.roll(sol.dual, -1, axis=1)
+                               if s.y0 is not None else None))
             return s, (u0, sol.cost)
 
         idxs = jnp.arange(n_steps, dtype=jnp.int32)

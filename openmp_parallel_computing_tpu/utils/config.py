@@ -123,6 +123,24 @@ class MPCConfig:
     # results/cpu/relax_study_solve.json) and that adversarial instance.
     # Same semantics in every backend (equivalence-tested at relax != 1).
     admm_relax: float = 1.3
+    # Warm-start the ADMM scaled duals across receding-horizon steps:
+    # the closed-loop carry shifts last frame's duals (Scenario.y0 =
+    # roll(Solution.dual)) instead of restarting them at zero each solve.
+    # Standard warm-started-ADMM practice (Boyd et al. §4.3: warm starts
+    # cut iterations in closed-loop MPC); the shifted duals are near the
+    # new solve's fixed point because consecutive frames differ by one
+    # dynamics step. Default ON by the 100-frame closed-loop study
+    # (results/cpu/dual_warm_loop_solve.json): at the shipped 1x5 budget
+    # it is a strict improvement — identical asymptotic cost, mean
+    # primal residual -35% (constraints ~35% active in distribution) —
+    # and it makes a reduced warm-loop budget viable (1x3 lands within
+    # ~0.15% of 1x5-cold asymptotic cost with residual still below
+    # 1x3-cold by 2.4x). Only changes the receding-horizon carry —
+    # cold-start solve_batch calls are unaffected unless the caller
+    # passes Scenario.y0 explicitly. Same semantics in every scan
+    # backend; incompatible with full_solve=True (that kernel
+    # initializes its duals in VMEM).
+    dual_warm_start: bool = True
 
 
 @dataclasses.dataclass

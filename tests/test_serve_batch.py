@@ -51,7 +51,7 @@ class TestMultiFrameSolve:
         u0_multi, sol_multi = mpc.control_step_multi(
             jnp.asarray(frames), scen)
         for i in range(B):
-            si = Scenario(*(a[i:i + 1] for a in scen))
+            si = Scenario(*(None if a is None else a[i:i + 1] for a in scen))
             u0_i, sol_i = mpc.control_step(jnp.asarray(frames[i]), si)
             np.testing.assert_allclose(np.asarray(u0_multi)[i],
                                        np.asarray(u0_i)[0],
@@ -109,7 +109,7 @@ class TestControlBatcher:
         assert any(r["batched"] >= 2 for r in results)
         mpc = VisualServoMPC(MPCConfig(horizon=H, num_features=M))
         for i, r in enumerate(results):
-            si = Scenario(*(a[i:i + 1] for a in scen))
+            si = Scenario(*(None if a is None else a[i:i + 1] for a in scen))
             u0_i, sol_i = mpc.control_step(jnp.asarray(frames[i]), si)
             np.testing.assert_allclose(r["u0"], np.asarray(u0_i)[0],
                                        rtol=1e-4, atol=1e-4)
@@ -293,9 +293,14 @@ class TestConcurrentHTTP:
                 return ",".join(f"{float(x):.9g}" for x in np.asarray(v))
             barrier.wait()
             with open(paths[i], "rb") as f:
+                # deadline_ms=0 opts out of admission control: this test
+                # asserts per-request correctness, and CPU first-compiles
+                # can push the measured batch time past the default
+                # deadline (shedding is covered by TestAdmissionControl).
                 responses[i] = requests.post(url, files={"image": f}, data={
                     "p0": fmt(scen.p0[i]), "target": fmt(scen.target[i]),
-                    "depth": fmt(scen.depth[i]), "horizon": str(H)})
+                    "depth": fmt(scen.depth[i]), "horizon": str(H),
+                    "deadline_ms": "0"})
 
         try:
             threads = [threading.Thread(target=post, args=(i,))
@@ -308,7 +313,7 @@ class TestConcurrentHTTP:
             for i, resp in enumerate(responses):
                 assert resp is not None and resp.status_code == 200
                 body = resp.json()
-                si = Scenario(*(a[i:i + 1] for a in scen))
+                si = Scenario(*(None if a is None else a[i:i + 1] for a in scen))
                 u0_i, _ = mpc.control_step(jnp.asarray(frames[i]), si)
                 np.testing.assert_allclose(body["u0"], np.asarray(u0_i)[0],
                                            rtol=1e-4, atol=1e-4)

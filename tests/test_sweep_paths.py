@@ -311,8 +311,13 @@ class TestFullSolve:
                 scen = mpc.random_scenarios(jax.random.PRNGKey(17), 128)
             sol = mpc.solve_batch(edge, scen)
             results[flag] = jax.tree.map(np.asarray, sol)
-        for a, b in zip(results[False], results[True]):
-            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+        # Solution.dual is None on the full_solve path (the kernel's
+        # duals live in VMEM scratch) — compare the solution fields.
+        assert results[True].dual is None
+        for field in ("us", "ps", "cost", "primal_residual"):
+            np.testing.assert_allclose(
+                getattr(results[True], field),
+                getattr(results[False], field), rtol=1e-5, atol=1e-5)
 
 
 class TestPickCandidates:
