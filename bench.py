@@ -105,8 +105,13 @@ def main() -> None:
         mpc = VisualServoMPC(cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(0), batch)
         scen = jax.tree.map(jax.device_put, scen)
-        u0s, _, scen = mpc.receding_horizon_frames(frames, scen, steps)
-        np.asarray(u0s[-1])
+        # Warm up TWICE: the first window's outgoing scenario gains the
+        # dual warm-start carry (Scenario.y0, None -> array), so the
+        # second call traces a second executable — both must be compiled
+        # before timing starts.
+        for _ in range(2):
+            u0s, _, scen = mpc.receding_horizon_frames(frames, scen, steps)
+            np.asarray(u0s[-1])
         trials = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
@@ -122,6 +127,7 @@ def main() -> None:
     small, small_trials, _, _ = honest_loop(SCENARIOS_SMALL, STEPS_SMALL)
 
     # --- solver-only ceiling: fixed frame, pyramid amortized -------------
+    # (scen already carries y0 here, so one warm call compiles the loop)
     u0s, _, scen = mpc.receding_horizon(frames[0], scen, STEPS)
     np.asarray(u0s[-1])
     ceiling_trials = []
