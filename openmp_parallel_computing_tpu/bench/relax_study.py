@@ -82,7 +82,8 @@ def run(scenarios: int, edge_refresh: str, relaxes, budgets,
 
 
 def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
-             seed: int = 0) -> dict:
+             seed: int = 0, horizon: int = 20,
+             dual_decay: float | None = None) -> dict:
     """Closed-loop receding-horizon quality: run ``frames`` warm-started
     solves (shift-by-one, the MPCRuntime pattern) per config and report the
     tracking-error trajectory — the regime the headline bench models, where
@@ -108,15 +109,18 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
         # classically needs fewer iterations).
         ilqr, admm, relax = config[:3]
         dual = bool(config[3]) if len(config) > 3 else False
-        cfg = MPCConfig(ilqr_iters=ilqr, admm_iters=admm, admm_relax=relax,
+        kw = {} if dual_decay is None else {"dual_decay": dual_decay}
+        cfg = MPCConfig(horizon=horizon, ilqr_iters=ilqr,
+                        admm_iters=admm, admm_relax=relax,
                         backend="reference", edge_refresh=edge_refresh,
-                        dual_warm_start=dual)
+                        dual_warm_start=dual, **kw)
         mpc = VisualServoMPC(cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(seed), scenarios)
         err0 = float(jnp.mean(jnp.abs(scen.p0 - scen.target)))
-        errs, costs = [], []
+        errs, costs, resids = [], [], []
         for _ in range(frames):
             sol = mpc.solve_batch(edge_map, scen)
+            resids.append(float(jnp.mean(sol.primal_residual)))
             # MPCRuntime.step: advance to the predicted next state, shift
             # the optimized controls one step (and the duals, when warm-
             # started).
@@ -124,7 +128,7 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
                 [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
             y0 = None
             if dual:
-                y0 = jnp.concatenate(
+                y0 = cfg.dual_decay * jnp.concatenate(
                     [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])],
                     axis=1)
             scen = scen._replace(p0=sol.ps[:, 1], us0=shifted, y0=y0)
@@ -132,11 +136,16 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
             costs.append(float(jnp.mean(sol.cost)))
         rows.append({
             "ilqr": ilqr, "admm": admm, "relax": relax, "dual": dual,
+            "dual_decay": cfg.dual_decay if dual else None,
             "sweeps": ilqr * admm, "err0": round(err0, 4),
             "mean_abs_err_by_frame": [round(e, 4) for e in errs],
             "final_err": round(errs[-1], 4),
             "mean_cost_by_frame": [round(c, 4) for c in costs],
             "final_mean_cost": round(costs[-1], 4),
+            # constraint satisfaction where the dual carry acts: mean
+            # primal residual over the settled back half of the window
+            "mean_primal_residual_late": round(
+                float(np.mean(resids[frames // 2:])), 5),
         })
         print(json.dumps(rows[-1]), flush=True)
     return {"methodology": (
@@ -144,7 +153,7 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
         "scene) on real 1080p Sobel features, reference backend; "
         "mean |p - target| per frame"),
         "edge_refresh": edge_refresh, "scenarios": scenarios,
-        "frames": frames, "rows": rows}
+        "frames": frames, "horizon": horizon, "rows": rows}
 
 
 def main() -> None:
@@ -161,6 +170,13 @@ def main() -> None:
     ap.add_argument("--loop", type=int, default=0, metavar="FRAMES",
                     help="closed-loop mode: run FRAMES warm-started solves "
                          "per config (configs = the budgets grid x relaxes)")
+    ap.add_argument("--horizon", type=int, default=20,
+                    help="MPC horizon for the closed-loop mode (e.g. 50 "
+                         "for the pod config)")
+    ap.add_argument("--dual-decay", type=float, default=None,
+                    help="override MPCConfig.dual_decay for the dual=True "
+                         "arms (e.g. 1.0 to reproduce the measured "
+                         "undamped-carry divergence at H=50)")
     ap.add_argument("--dual", action="store_true",
                     help="closed-loop mode: also run every config with the "
                          "ADMM dual warm start carried across frames "
@@ -180,7 +196,8 @@ def main() -> None:
         configs = [(i, a, rx, d) for (i, a) in budgets for rx in relaxes
                    for d in duals]
         out = run_loop(args.scenarios, args.loop, args.edge_refresh,
-                       configs, seed=args.seed)
+                       configs, seed=args.seed, horizon=args.horizon,
+                       dual_decay=args.dual_decay)
     else:
         out = run(args.scenarios, args.edge_refresh, relaxes, budgets,
                   seed=args.seed)

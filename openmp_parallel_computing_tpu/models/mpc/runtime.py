@@ -59,7 +59,7 @@ class MPCRuntime:
         # ADMM scaled duals the same way the control plan is shifted.
         y0 = None
         if self.cfg.dual_warm_start and sol.dual is not None:
-            y0 = jnp.concatenate(
+            y0 = self.cfg.dual_decay * jnp.concatenate(
                 [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])], axis=1)
         self.scen = Scenario(p0=sol.ps[:, 1], target=self.scen.target,
                              depth=self.scen.depth, us0=shifted, y0=y0)

@@ -857,6 +857,7 @@ class VisualServoMPC:
             return self._receding_lanes(lambda i: pyramid, shape, scen,
                                         n_frames)
         dt = self.cfg.dt
+        dt_decay = self.cfg.dual_decay
         scen = self._seed_duals(scen)
 
         def body(s, _):
@@ -865,7 +866,7 @@ class VisualServoMPC:
             p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
                 s.p0, u0, s.depth)
             s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
-                           y0=(jnp.roll(sol.dual, -1, axis=1)
+                           y0=(dt_decay * jnp.roll(sol.dual, -1, axis=1)
                                if s.y0 is not None else None))
             return s, (u0, sol.cost)
 
@@ -912,7 +913,8 @@ class VisualServoMPC:
             cost = sw.final_cost(z_l, ps_final_l, target_l)
             u0_l = z_l[0]                           # (c, *bshape)
             p1_l = sp._dyn_step(p0_l, u0_l, izd_l, dt, sw.m)
-            y_next = (jnp.roll(y_out, -1, axis=0) if dual_carry else None)
+            y_next = (cfg.dual_decay * jnp.roll(y_out, -1, axis=0)
+                      if dual_carry else None)
             return ((p1_l, jnp.roll(z_l, -1, axis=0), y_next),
                     (u0_l, cost))
 
@@ -963,6 +965,7 @@ class VisualServoMPC:
 
         if self.cfg.backend == "sweep":
             return self._receding_lanes(pyramid_at, shape, scen, n_steps)
+        dt_decay = self.cfg.dual_decay
         scen = self._seed_duals(scen)
 
         def body(s, idx):
@@ -972,7 +975,7 @@ class VisualServoMPC:
             p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
                 s.p0, u0, s.depth)
             s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
-                           y0=(jnp.roll(sol.dual, -1, axis=1)
+                           y0=(dt_decay * jnp.roll(sol.dual, -1, axis=1)
                                if s.y0 is not None else None))
             return s, (u0, sol.cost)
 

@@ -125,22 +125,28 @@ class MPCConfig:
     admm_relax: float = 1.3
     # Warm-start the ADMM scaled duals across receding-horizon steps:
     # the closed-loop carry shifts last frame's duals (Scenario.y0 =
-    # roll(Solution.dual)) instead of restarting them at zero each solve.
-    # Standard warm-started-ADMM practice (Boyd et al. §4.3: warm starts
-    # cut iterations in closed-loop MPC); the shifted duals are near the
-    # new solve's fixed point because consecutive frames differ by one
-    # dynamics step. Default ON by the 100-frame closed-loop study
-    # (results/cpu/dual_warm_loop_solve.json): at the shipped 1x5 budget
-    # it is a strict improvement — identical asymptotic cost, mean
-    # primal residual -35% (constraints ~35% active in distribution) —
-    # and it makes a reduced warm-loop budget viable (1x3 lands within
-    # ~0.15% of 1x5-cold asymptotic cost with residual still below
-    # 1x3-cold by 2.4x). Only changes the receding-horizon carry —
-    # cold-start solve_batch calls are unaffected unless the caller
-    # passes Scenario.y0 explicitly. Same semantics in every scan
-    # backend; incompatible with full_solve=True (that kernel
+    # dual_decay * roll(Solution.dual)) instead of restarting them at
+    # zero each solve. Standard warm-started-ADMM practice (Boyd et al.
+    # §4.3: warm starts cut iterations in closed-loop MPC); the shifted
+    # duals are near the new solve's fixed point because consecutive
+    # frames differ by one dynamics step. Only changes the receding-
+    # horizon carry — cold-start solve_batch calls are unaffected unless
+    # the caller passes Scenario.y0 explicitly. Same semantics in every
+    # scan backend; incompatible with full_solve=True (that kernel
     # initializes its duals in VMEM).
     dual_warm_start: bool = True
+    # Damping on the carried duals. THE UNDAMPED CARRY (1.0) IS
+    # DIVERGENT: with inexact solves (1 iLQR sweep per relaxed ADMM
+    # iteration) the carried dual error compounds frame over frame —
+    # measured |y| -> 7.6e16 over 60 frames at H=50
+    # (results/cpu/dual_warm_loop_h50.json's gamma study; at H=20 it
+    # merely stayed lucky-bounded). 0.5 contracts the accumulated error
+    # while keeping most of the one-frame warm-start signal, and
+    # measures strictly better than cold duals at BOTH horizons: H=20
+    # settled residual -21%, H=50 -42%, asymptotic closed-loop cost
+    # equal or better at every budget (DESIGN.md §2i). 0.0 reproduces
+    # the cold-dual loop exactly.
+    dual_decay: float = 0.5
 
 
 @dataclasses.dataclass

@@ -601,7 +601,7 @@ class TestRecedingHorizon:
                 p, u, d, mpc.cfg.dt))(s.p0, u0, s.depth)
             # Mirror the device loops' carry, including the ADMM dual
             # warm start when the config enables it.
-            y0 = (jnp.roll(sol.dual, -1, axis=1)
+            y0 = (mpc.cfg.dual_decay * jnp.roll(sol.dual, -1, axis=1)
                   if mpc.cfg.dual_warm_start else None)
             s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
                            y0=y0)
@@ -862,3 +862,27 @@ class TestDualWarmStart:
         with pytest.raises(ValueError, match="full_solve"):
             mpc.solve_batch(edge,
                             scen._replace(y0=jnp.zeros_like(scen.us0)))
+
+    def test_decay_zero_reproduces_cold_loop(self):
+        """dual_decay=0 must reproduce the cold-dual loop bit-for-bit —
+        the carry structure alone cannot change the math (and γ is
+        actually wired: the default 0.5 loop differs)."""
+        import dataclasses
+
+        rng = np.random.default_rng(71)
+        frame = jnp.asarray(
+            rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8))
+        cfg_cold = self._cfg("sweep", dual_warm_start=False)
+        mpc_cold = VisualServoMPC(cfg_cold)
+        scen = mpc_cold.random_scenarios(jax.random.PRNGKey(73), 4)
+        u_cold, _, _ = mpc_cold.receding_horizon(frame, scen, 5)
+        mpc_zero = VisualServoMPC(dataclasses.replace(
+            cfg_cold, dual_warm_start=True, dual_decay=0.0))
+        u_zero, _, _ = mpc_zero.receding_horizon(frame, scen, 5)
+        np.testing.assert_allclose(np.asarray(u_zero), np.asarray(u_cold),
+                                   rtol=1e-6, atol=1e-7)
+        mpc_half = VisualServoMPC(dataclasses.replace(
+            cfg_cold, dual_warm_start=True, dual_decay=0.5))
+        u_half, _, _ = mpc_half.receding_horizon(frame, scen, 5)
+        assert not np.allclose(np.asarray(u_half)[1:],
+                               np.asarray(u_cold)[1:], atol=1e-7)

@@ -145,3 +145,43 @@ def test_scaling_harness_runs(tmp_path):
     assert len(rows) == 2
     assert rows[0]["efficiency"] == 1.0
     assert (tmp_path / "scaling_efficiency.csv").exists()
+
+
+def test_reduced_warm_budget_with_dual_carry_matches_shipped(edge_map):
+    """The labeled warm-loop option (admm_iters=3 + the decayed dual
+    carry — BASELINE.md's 1x3-dual row, ~1.04M solves/s on chip) must
+    track the shipped 1x5 budget in closed loop: final cost within 1%
+    and primal residual no worse than 1x3 WITHOUT the carry. Quality
+    evidence: results/cpu/dual_warm_loop_solve.json (DESIGN.md §2i)."""
+    import dataclasses
+
+    from openmp_parallel_computing_tpu.models.mpc import Scenario
+
+    def closed_loop(cfg, frames=25):
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(5), 16)
+        costs = resid = None
+        for _ in range(frames):
+            sol = mpc.solve_batch(edge_map, scen)
+            costs = float(jnp.mean(sol.cost))
+            resid = float(jnp.mean(sol.primal_residual))
+            sh = jnp.concatenate(
+                [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
+            y0 = None
+            if cfg.dual_warm_start:
+                y0 = cfg.dual_decay * jnp.concatenate(
+                    [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])],
+                    axis=1)
+            scen = scen._replace(p0=sol.ps[:, 1], us0=sh, y0=y0)
+        return costs, resid
+
+    base = MPCConfig(horizon=10, num_features=4, backend="reference",
+                     edge_refresh="solve")
+    cost_15, _ = closed_loop(dataclasses.replace(
+        base, dual_warm_start=False))
+    cost_13d, res_13d = closed_loop(dataclasses.replace(
+        base, admm_iters=3, dual_warm_start=True))
+    cost_13c, res_13c = closed_loop(dataclasses.replace(
+        base, admm_iters=3, dual_warm_start=False))
+    assert cost_13d <= cost_15 * 1.01, (cost_13d, cost_15)
+    assert res_13d <= res_13c * 1.05, (res_13d, res_13c)
