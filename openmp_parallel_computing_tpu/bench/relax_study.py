@@ -116,6 +116,9 @@ def run_loop(scenarios: int, frames: int, edge_refresh: str, configs,
                         dual_warm_start=dual, **kw)
         mpc = VisualServoMPC(cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(seed), scenarios)
+        if dual:
+            # duals out iff duals in: seed the carry with cold zeros
+            scen = scen._replace(y0=jnp.zeros_like(scen.us0))
         err0 = float(jnp.mean(jnp.abs(scen.p0 - scen.target)))
         errs, costs, resids = [], [], []
         for _ in range(frames):

@@ -40,10 +40,11 @@ class MPCRuntime:
     def reset(self, p0, target, depth) -> None:
         """Start a control episode for a scenario batch."""
         n = np.asarray(p0).shape[0]
-        self.scen = Scenario(
+        self.scen = self.mpc._seed_duals(Scenario(
             p0=jnp.asarray(p0), target=jnp.asarray(target),
             depth=jnp.asarray(depth),
-            us0=jnp.zeros((n, self.cfg.horizon, CONTROL_DIM), jnp.float32))
+            us0=jnp.zeros((n, self.cfg.horizon, CONTROL_DIM),
+                          jnp.float32)))
         self.frame_idx = 0
 
     def step(self, frame) -> jax.Array:
@@ -55,10 +56,14 @@ class MPCRuntime:
         # Receding horizon: advance the predicted state, shift controls.
         shifted = jnp.concatenate(
             [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
-        # Dual warm start (MPCConfig.dual_warm_start): shift last solve's
-        # ADMM scaled duals the same way the control plan is shifted.
+        # Dual warm start (MPCConfig.dual_warm_start; seeded by reset()
+        # via _seed_duals, so sol.dual is present exactly when the carry
+        # is active): shift last solve's decayed ADMM scaled duals the
+        # same zero-fill way the control plan is shifted — the one
+        # convention every loop and quality study shares
+        # (solver._shift_tail_zero).
         y0 = None
-        if self.cfg.dual_warm_start and sol.dual is not None:
+        if sol.dual is not None:
             y0 = self.cfg.dual_decay * jnp.concatenate(
                 [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])], axis=1)
         self.scen = Scenario(p0=sol.ps[:, 1], target=self.scen.target,
@@ -85,9 +90,10 @@ class MPCRuntime:
         self.frame_idx = int(state["frame_idx"])
         s = state["scen"]
         y0 = s.get("y0")  # absent in pre-dual-carry checkpoints
-        self.scen = Scenario(p0=jnp.asarray(s["p0"]),
-                             target=jnp.asarray(s["target"]),
-                             depth=jnp.asarray(s["depth"]),
-                             us0=jnp.asarray(s["us0"]),
-                             y0=None if y0 is None else jnp.asarray(y0))
+        self.scen = self.mpc._seed_duals(Scenario(
+            p0=jnp.asarray(s["p0"]),
+            target=jnp.asarray(s["target"]),
+            depth=jnp.asarray(s["depth"]),
+            us0=jnp.asarray(s["us0"]),
+            y0=None if y0 is None else jnp.asarray(y0)))
         return True

@@ -116,6 +116,18 @@ def _pick_candidates(J, cand, a_axis: int, n_batch_dims: int):
     return out
 
 
+def _shift_tail_zero(a, axis=0):
+    """Receding-horizon shift: drop entry 0 along ``axis``, zero-fill the
+    tail (beyond-horizon steps carry no information — the MPCRuntime
+    convention). Every loop and quality study shares this convention so
+    closed-loop artifacts transfer exactly between the host runtime and
+    the device-resident scans."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, 1)
+    return jnp.pad(
+        jax.lax.slice_in_dim(a, 1, a.shape[axis], axis=axis), pad)
+
+
 def sweep_vmem_estimates(h: int, n: int, cdim: int, A: int,
                          tile: int) -> dict[str, int]:
     """Per-grid-tile VMEM bytes of the one-launch sweep kernels — the
@@ -324,7 +336,7 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
         ps=ps,
         cost=riccati.trajectory_cost(stage, terminal, ps, z),
         primal_residual=jnp.max(jnp.abs(us - z)),
-        dual=y,
+        dual=y if scen.y0 is not None else None,
     )
 
 
@@ -434,7 +446,7 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
         ps=ps,
         cost=quad_cost(ps, z) + edge_cost_total,
         primal_residual=jnp.max(jnp.abs(us - z), axis=(1, 2)),
-        dual=y,
+        dual=y if scen.y0 is not None else None,
     )
 
 
@@ -668,9 +680,12 @@ class _SweepLanes:
             if y0_l is not None:
                 raise ValueError(
                     "full_solve initializes its ADMM duals in VMEM "
-                    "scratch and cannot accept a warm start; unset "
-                    "MPCConfig.full_solve (or Scenario.y0) to use "
-                    "dual warm starting")
+                    "scratch and cannot accept a dual warm start. An "
+                    "explicit Scenario.y0 cannot be honored with "
+                    "MPCConfig.full_solve=True — unset one of them. "
+                    "(The receding-horizon loops skip the "
+                    "MPCConfig.dual_warm_start carry automatically "
+                    "under full_solve.)")
             # Entire ADMM loop + final feasible rollout in ONE kernel
             # launch (equivalence-tested against the scan path below).
             ps_final_l, z_l, us_l = sp.full_solve(
@@ -713,12 +728,17 @@ def _solve_batch_sweep(pyramid, shape, scen: Scenario,
     y0_l = sw.lanes(scen.y0, 3) if scen.y0 is not None else None
     z_l, ps_final_l, resid_l, y_l = sw.solve(p0_l, target_l, izd_l, us_l,
                                              y0_l)
+    # Contract: duals out iff duals in (Scenario.y0). Cold solves skip
+    # the unlanes transpose and the extra jit output entirely, so the
+    # serving/dispatch paths pay nothing for the warm-start feature.
+    dual = (sw.unlanes(y_l, 2)
+            if y0_l is not None and y_l is not None else None)
     return Solution(
         us=sw.unlanes(z_l, 2),
         ps=_from_split(sw.unlanes(ps_final_l, 2)),
         cost=sw.final_cost(z_l, ps_final_l, target_l),
         primal_residual=sw._vec(resid_l),
-        dual=sw.unlanes(y_l, 2) if y_l is not None else None,
+        dual=dual,
     )
 
 
@@ -823,10 +843,26 @@ class VisualServoMPC:
         the receding-horizon carry: seed cold zeros when the caller did
         not provide ``Scenario.y0`` (the scan carry must be
         structure-stable). A caller-provided y0 is carried regardless of
-        the flag — it is data, not configuration."""
-        if self.cfg.dual_warm_start and scen.y0 is None:
+        the flag — it is data, not configuration. Under
+        ``cfg.full_solve`` the carry is skipped entirely (that kernel
+        initializes its duals in VMEM scratch; an EXPLICIT y0 there is
+        rejected by the solve)."""
+        if (self.cfg.dual_warm_start and scen.y0 is None
+                and not self.cfg.full_solve):
             return scen._replace(y0=jnp.zeros_like(scen.us0))
         return scen
+
+    def _advance(self, s: Scenario, sol: Solution):
+        """One receding-horizon advance (shared by both scan bodies):
+        apply the first control to the true dynamics, shift the plan,
+        and shift the decayed duals when the carry is active."""
+        u0 = sol.us[:, 0]
+        p1 = jax.vmap(lambda p, u, d: dynamics.step(
+            p, u, d, self.cfg.dt))(s.p0, u0, s.depth)
+        y0 = (self.cfg.dual_decay * _shift_tail_zero(sol.dual, axis=1)
+              if s.y0 is not None else None)
+        return s._replace(p0=p1, us0=_shift_tail_zero(sol.us, axis=1),
+                          y0=y0), u0
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def receding_horizon(self, frame: jax.Array, scen: Scenario,
@@ -856,18 +892,11 @@ class VisualServoMPC:
         if self.cfg.backend == "sweep":
             return self._receding_lanes(lambda i: pyramid, shape, scen,
                                         n_frames)
-        dt = self.cfg.dt
-        dt_decay = self.cfg.dual_decay
         scen = self._seed_duals(scen)
 
         def body(s, _):
             sol = self._solve_pyramid(pyramid, shape, s)
-            u0 = sol.us[:, 0]
-            p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
-                s.p0, u0, s.depth)
-            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
-                           y0=(dt_decay * jnp.roll(sol.dual, -1, axis=1)
-                               if s.y0 is not None else None))
+            s, u0 = self._advance(s, sol)
             return s, (u0, sol.cost)
 
         scen_out, (u0s, cost_seq) = jax.lax.scan(
@@ -894,7 +923,15 @@ class VisualServoMPC:
         cfg = self.cfg
         B = scen.us0.shape[0]
         dt = cfg.dt
-        dual_carry = cfg.dual_warm_start or scen.y0 is not None
+        # The full_solve kernel owns its duals in VMEM scratch: skip the
+        # config-driven carry there, and reject an EXPLICIT Scenario.y0
+        # (silently dropping caller data would be worse than failing).
+        if cfg.full_solve and scen.y0 is not None:
+            raise ValueError(
+                "full_solve cannot honor Scenario.y0 (its ADMM duals "
+                "live in VMEM scratch) — unset one of them")
+        dual_carry = ((cfg.dual_warm_start or scen.y0 is not None)
+                      and not cfg.full_solve)
         # Layout-only context (the pyramid is per-step inside the scan).
         sw0 = _SweepLanes(None, shape, cfg, B)
         p0_l, target_l, izd_l, us_l = sw0.lanes_scenario(scen)
@@ -913,9 +950,9 @@ class VisualServoMPC:
             cost = sw.final_cost(z_l, ps_final_l, target_l)
             u0_l = z_l[0]                           # (c, *bshape)
             p1_l = sp._dyn_step(p0_l, u0_l, izd_l, dt, sw.m)
-            y_next = (cfg.dual_decay * jnp.roll(y_out, -1, axis=0)
+            y_next = (cfg.dual_decay * _shift_tail_zero(y_out, axis=0)
                       if dual_carry else None)
-            return ((p1_l, jnp.roll(z_l, -1, axis=0), y_next),
+            return ((p1_l, _shift_tail_zero(z_l, axis=0), y_next),
                     (u0_l, cost))
 
         idxs = jnp.arange(n_steps, dtype=jnp.int32)
@@ -956,7 +993,6 @@ class VisualServoMPC:
         """
         n_ring = frames.shape[0]
         shape = frames.shape[2:]
-        dt = self.cfg.dt
 
         def pyramid_at(idx):
             frame = jax.lax.dynamic_index_in_dim(frames, idx % n_ring,
@@ -965,18 +1001,12 @@ class VisualServoMPC:
 
         if self.cfg.backend == "sweep":
             return self._receding_lanes(pyramid_at, shape, scen, n_steps)
-        dt_decay = self.cfg.dual_decay
         scen = self._seed_duals(scen)
 
         def body(s, idx):
             pyramid = pyramid_at(idx)
             sol = self._solve_pyramid(pyramid, shape, s)
-            u0 = sol.us[:, 0]
-            p1 = jax.vmap(lambda p, u, d: dynamics.step(p, u, d, dt))(
-                s.p0, u0, s.depth)
-            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
-                           y0=(dt_decay * jnp.roll(sol.dual, -1, axis=1)
-                               if s.y0 is not None else None))
+            s, u0 = self._advance(s, sol)
             return s, (u0, sol.cost)
 
         idxs = jnp.arange(n_steps, dtype=jnp.int32)

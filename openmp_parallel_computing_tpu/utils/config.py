@@ -125,7 +125,8 @@ class MPCConfig:
     admm_relax: float = 1.3
     # Warm-start the ADMM scaled duals across receding-horizon steps:
     # the closed-loop carry shifts last frame's duals (Scenario.y0 =
-    # dual_decay * roll(Solution.dual)) instead of restarting them at
+    # dual_decay * shift(Solution.dual), zero-filled tail like the plan
+    # shift — solver._shift_tail_zero) instead of restarting them at
     # zero each solve. Standard warm-started-ADMM practice (Boyd et al.
     # §4.3: warm starts cut iterations in closed-loop MPC); the shifted
     # duals are near the new solve's fixed point because consecutive

@@ -587,7 +587,10 @@ class TestRecedingHorizon:
                     scen_out):
         from openmp_parallel_computing_tpu.models.mpc import dynamics
 
-        s = scen
+        from openmp_parallel_computing_tpu.models.mpc.solver import (
+            _shift_tail_zero)
+
+        s = mpc._seed_duals(scen)
         for i in range(n):
             u0, sol = mpc.control_step(frame_for_step(i), s)
             tol = dict(rtol=1e-5, atol=1e-6) if i == 0 else \
@@ -599,12 +602,13 @@ class TestRecedingHorizon:
                                        rtol=1e-3, atol=1e-4)
             p1 = jax.vmap(lambda p, u, d: dynamics.step(
                 p, u, d, mpc.cfg.dt))(s.p0, u0, s.depth)
-            # Mirror the device loops' carry, including the ADMM dual
-            # warm start when the config enables it.
-            y0 = (mpc.cfg.dual_decay * jnp.roll(sol.dual, -1, axis=1)
-                  if mpc.cfg.dual_warm_start else None)
-            s = s._replace(p0=p1, us0=jnp.roll(sol.us, -1, axis=1),
-                           y0=y0)
+            # Mirror the device loops' carry (solver._advance): zero-fill
+            # shifts, decayed duals when the carry is active (duals out
+            # iff duals in).
+            y0 = (mpc.cfg.dual_decay * _shift_tail_zero(sol.dual, axis=1)
+                  if s.y0 is not None else None)
+            s = s._replace(p0=p1,
+                           us0=_shift_tail_zero(sol.us, axis=1), y0=y0)
         np.testing.assert_allclose(np.asarray(scen_out.p0),
                                    np.asarray(s.p0), rtol=1e-3, atol=5e-3)
 

@@ -160,6 +160,8 @@ def test_reduced_warm_budget_with_dual_carry_matches_shipped(edge_map):
     def closed_loop(cfg, frames=25):
         mpc = VisualServoMPC(cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(5), 16)
+        if cfg.dual_warm_start:
+            scen = scen._replace(y0=jnp.zeros_like(scen.us0))
         costs = resid = None
         for _ in range(frames):
             sol = mpc.solve_batch(edge_map, scen)
