@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import threading
 import time
@@ -60,6 +61,12 @@ from pathlib import Path
 from openmp_parallel_computing_tpu.dispatch.queue import (
     DurableQueue, Job, consume_loop)
 from openmp_parallel_computing_tpu.dispatch.store import ObjectStore
+from openmp_parallel_computing_tpu.utils.httpguard import (
+    AUTH_HEADER,
+    BodyTooLarge,
+    read_body,
+    token_ok,
+)
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
 
@@ -73,10 +80,13 @@ class _BrokerState:
     """Broker-local queues/store, created lazily per queue name."""
 
     def __init__(self, root: str, visibility_timeout_s: float = 60.0,
-                 max_deliveries: int = 5):
+                 max_deliveries: int = 5, token: str = "",
+                 max_body_mb: int = 64):
         self.root = root
         self.visibility_timeout_s = visibility_timeout_s
         self.max_deliveries = max_deliveries
+        self.token = token
+        self.max_body = max_body_mb * 1024 * 1024
         self.store = ObjectStore(root)
         self._queues: dict[str, DurableQueue] = {}
         self._lock = threading.Lock()
@@ -115,15 +125,31 @@ def _make_handler(state: _BrokerState):
             self.end_headers()
 
         def _body(self) -> bytes:
-            length = int(self.headers.get("Content-Length", 0))
-            return self.rfile.read(length)
+            return read_body(self, state.max_body)
 
         def _obj_key(self) -> str:
             return urllib.parse.unquote(self.path[len("/obj/"):])
 
+        def _guard(self) -> bool:
+            """Shared-secret gate for mutating routes. 401 closes the
+            connection (the client may be mid-upload)."""
+            if token_ok(self, state.token):
+                return True
+            self.close_connection = True
+            self._json(401, {"error": f"missing or bad {AUTH_HEADER}"})
+            return False
+
+        def _too_large(self, exc: BodyTooLarge) -> None:
+            """413 without having read the body; close so the half-sent
+            request cannot desynchronize the keep-alive stream."""
+            self.close_connection = True
+            self._json(413, {"error": str(exc)})
+
         # -- queue ---------------------------------------------------------
 
         def do_POST(self):
+            if not self._guard():
+                return
             m = re.match(r"^/q/([^/]+)/(publish|claim|ack|nack)$", self.path)
             if not m:
                 self._empty(404)
@@ -155,18 +181,24 @@ def _make_handler(state: _BrokerState):
                               _inflight_path=q.inflight / token)
                     (q.ack if op == "ack" else q.nack)(job)
                     self._empty(204)
+            except BodyTooLarge as exc:
+                self._too_large(exc)
             except Exception as exc:  # surface broker-side failures
                 self._json(500, {"error": repr(exc)})
 
         # -- store + misc ----------------------------------------------------
 
         def do_PUT(self):
+            if not self._guard():
+                return
             if not self.path.startswith("/obj/"):
                 self._empty(404)
                 return
             try:
                 state.store.put(self._obj_key(), self._body())
                 self._empty(201)
+            except BodyTooLarge as exc:
+                self._too_large(exc)
             except Exception as exc:
                 self._json(400, {"error": repr(exc)})
 
@@ -211,6 +243,8 @@ def _make_handler(state: _BrokerState):
                 self._empty(404)
 
         def do_DELETE(self):
+            if not self._guard():
+                return
             if self.path.startswith("/obj/"):
                 try:
                     state.store.delete(self._obj_key())
@@ -229,8 +263,10 @@ def _make_handler(state: _BrokerState):
 
 def serve_broker(root: str, host: str = "0.0.0.0", port: int = 9800,
                  visibility_timeout_s: float = 60.0,
-                 max_deliveries: int = 5) -> ThreadingHTTPServer:
-    state = _BrokerState(root, visibility_timeout_s, max_deliveries)
+                 max_deliveries: int = 5, token: str = "",
+                 max_body_mb: int = 64) -> ThreadingHTTPServer:
+    state = _BrokerState(root, visibility_timeout_s, max_deliveries,
+                         token=token, max_body_mb=max_body_mb)
     httpd = ThreadingHTTPServer((host, port), _make_handler(state))
     return httpd
 
@@ -246,16 +282,19 @@ class _HttpClient:
     redelivers rather than kills the consumer."""
 
     def __init__(self, base_url: str, retries: int = 10,
-                 retry_delay_s: float = 5.0):
+                 retry_delay_s: float = 5.0, token: str = ""):
         self.base = base_url.rstrip("/")
         self.retries = retries
         self.retry_delay_s = retry_delay_s
+        self.token = token
 
     def request(self, method: str, path: str, data: bytes | None = None,
                 ctype: str = "application/json") -> tuple[int, bytes]:
+        headers = {"Content-Type": ctype} if data is not None else {}
+        if self.token:
+            headers[AUTH_HEADER] = self.token
         req = urllib.request.Request(
-            self.base + path, data=data, method=method,
-            headers={"Content-Type": ctype} if data is not None else {})
+            self.base + path, data=data, method=method, headers=headers)
         last: Exception | None = None
         for attempt in range(self.retries):
             try:
@@ -279,7 +318,9 @@ class _HttpClient:
         """GET returning the OPEN response object (caller closes) so large
         bodies can be consumed incrementally; same retry posture as
         ``request``. Raises HTTPError for non-2xx (caller maps 404)."""
-        req = urllib.request.Request(self.base + path, method="GET")
+        req = urllib.request.Request(
+            self.base + path, method="GET",
+            headers={AUTH_HEADER: self.token} if self.token else {})
         last: Exception | None = None
         for attempt in range(self.retries):
             try:
@@ -311,9 +352,10 @@ class NetworkQueue:
     def __init__(self, url: str, name: str,
                  visibility_timeout_s: float = 60.0,   # broker-side; kept
                  max_deliveries: int = 5,              # for API parity
-                 retries: int = 10, retry_delay_s: float = 5.0):
+                 retries: int = 10, retry_delay_s: float = 5.0,
+                 token: str = ""):
         self.name = name
-        self._c = _HttpClient(url, retries, retry_delay_s)
+        self._c = _HttpClient(url, retries, retry_delay_s, token=token)
 
     def publish(self, body: dict) -> str:
         code, out = self._c.json("POST", f"/q/{self.name}/publish", body)
@@ -363,11 +405,12 @@ class NetworkStore:
     """``ObjectStore``'s method surface over the broker wire protocol."""
 
     def __init__(self, url: str, bucket: str = "images",
-                 retries: int = 10, retry_delay_s: float = 5.0):
+                 retries: int = 10, retry_delay_s: float = 5.0,
+                 token: str = ""):
         # The broker's store is rooted at its own --root/images; bucket is
         # accepted for API parity with ObjectStore (single bucket, like the
         # reference's one "images" bucket).
-        self._c = _HttpClient(url, retries, retry_delay_s)
+        self._c = _HttpClient(url, retries, retry_delay_s, token=token)
 
     def _k(self, key: str) -> str:
         return "/obj/" + urllib.parse.quote(key)
@@ -432,19 +475,19 @@ def is_url(root: str) -> bool:
 
 
 def make_queue(root: str, name: str, visibility_timeout_s: float = 60.0,
-               max_deliveries: int = 5):
+               max_deliveries: int = 5, token: str = ""):
     if is_url(root):
         return NetworkQueue(root, name,
                             visibility_timeout_s=visibility_timeout_s,
-                            max_deliveries=max_deliveries)
+                            max_deliveries=max_deliveries, token=token)
     return DurableQueue(root, name,
                         visibility_timeout_s=visibility_timeout_s,
                         max_deliveries=max_deliveries)
 
 
-def make_store(root: str, bucket: str = "images"):
+def make_store(root: str, bucket: str = "images", token: str = ""):
     if is_url(root):
-        return NetworkStore(root, bucket)
+        return NetworkStore(root, bucket, token=token)
     return ObjectStore(root, bucket)
 
 
@@ -456,9 +499,15 @@ def main() -> None:
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=9800)
     ap.add_argument("--visibility-timeout", type=float, default=60.0)
+    ap.add_argument("--token",
+                    default=os.environ.get("OMPC_DISPATCH_AUTH_TOKEN", ""),
+                    help="shared secret required (X-Auth-Token) on "
+                         "mutating routes; empty disables auth")
+    ap.add_argument("--max-body-mb", type=int, default=64)
     args = ap.parse_args()
     httpd = serve_broker(args.root, args.host, args.port,
-                         visibility_timeout_s=args.visibility_timeout)
+                         visibility_timeout_s=args.visibility_timeout,
+                         token=args.token, max_body_mb=args.max_body_mb)
     print(f"broker on {args.host}:{httpd.server_address[1]} "
           f"(root {args.root})", flush=True)
     httpd.serve_forever()

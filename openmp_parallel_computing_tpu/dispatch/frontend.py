@@ -34,6 +34,10 @@ from openmp_parallel_computing_tpu.dispatch.validate import (
 )
 from openmp_parallel_computing_tpu.serve.server import _parse_multipart_ex
 from openmp_parallel_computing_tpu.utils.config import DispatchConfig
+from openmp_parallel_computing_tpu.utils.httpguard import (
+    BodyTooLarge,
+    read_body,
+)
 
 _PAGE = """<!doctype html>
 <html><head><title>ompc dispatch</title>
@@ -132,9 +136,10 @@ class FrontendState:
         self.cfg = cfg
         # Directory root -> filesystem backend; http:// root -> the
         # network broker (multi-machine dispatch; see dispatch/broker.py).
-        self.store = make_store(cfg.root)
-        self.jobs = make_queue(cfg.root, cfg.queue)
-        self.done = make_queue(cfg.root, f"{cfg.queue}_processed")
+        self.store = make_store(cfg.root, token=cfg.auth_token)
+        self.jobs = make_queue(cfg.root, cfg.queue, token=cfg.auth_token)
+        self.done = make_queue(cfg.root, f"{cfg.queue}_processed",
+                               token=cfg.auth_token)
         self.processed: dict[str, dict] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -255,10 +260,19 @@ def make_handler(state: FrontendState):
 
         def do_POST(self):
             url = urllib.parse.urlparse(self.path)
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = read_body(self,
+                                 state.cfg.max_body_mb * 1024 * 1024)
+            except BodyTooLarge as exc:
+                # 413 before ingesting: send_error marks Connection:
+                # close, unsticking the half-sent upload.
+                self.send_error(413, str(exc))
+                return
+            except ValueError as exc:
+                self.send_error(400, str(exc))
+                return
             fields, filenames = _parse_multipart_ex(
-                self.headers.get("Content-Type", ""),
-                self.rfile.read(length))
+                self.headers.get("Content-Type", ""), body)
             if url.path == "/mpc":
                 self._post_mpc(fields, filenames)
                 return

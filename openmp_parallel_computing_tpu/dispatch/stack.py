@@ -35,11 +35,13 @@ def _worker_main(cfg: DispatchConfig) -> None:
     Worker(cfg).run()
 
 
-def _broker_main(root: str, port: int, visibility_timeout_s: float) -> None:
+def _broker_main(root: str, port: int, visibility_timeout_s: float,
+                 token: str, max_body_mb: int) -> None:
     from openmp_parallel_computing_tpu.dispatch.broker import serve_broker
 
     serve_broker(root, host="127.0.0.1", port=port,
-                 visibility_timeout_s=visibility_timeout_s).serve_forever()
+                 visibility_timeout_s=visibility_timeout_s,
+                 token=token, max_body_mb=max_body_mb).serve_forever()
 
 
 def main(argv=None) -> int:
@@ -73,7 +75,8 @@ def main(argv=None) -> int:
         # new/ mid-run at the 60 s default.
         broker = ctx.Process(
             target=_broker_main,
-            args=(cfg.root, args.broker_port, cfg.visibility_timeout_s),
+            args=(cfg.root, args.broker_port, cfg.visibility_timeout_s,
+                  cfg.auth_token, cfg.max_body_mb),
             daemon=True)
         broker.start()
         url = f"http://127.0.0.1:{args.broker_port}"

@@ -72,11 +72,13 @@ class Worker:
         # http://host:port root -> the network broker (broker.py), the
         # multi-machine path matching the reference's network-reachable
         # RabbitMQ/MinIO (event-driven/docker-compose.yml:3-18).
-        self.store = make_store(self.cfg.root)
+        self.store = make_store(self.cfg.root, token=self.cfg.auth_token)
         self.jobs = make_queue(self.cfg.root, self.cfg.queue,
-                               self.cfg.visibility_timeout_s)
+                               self.cfg.visibility_timeout_s,
+                               token=self.cfg.auth_token)
         self.done = make_queue(self.cfg.root,
-                               f"{self.cfg.queue}_processed")
+                               f"{self.cfg.queue}_processed",
+                               token=self.cfg.auth_token)
         # Engines are device-resident (compiled, minutes on the relayed
         # TPU): keep the last few, evict LRU so config churn is bounded.
         self._mpc_cache: collections.OrderedDict = collections.OrderedDict()

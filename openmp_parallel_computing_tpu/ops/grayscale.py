@@ -1,12 +1,20 @@
 """Pallas TPU grayscale kernel.
 
 Capability twin of the reference's flat OpenMP pixel loop
-(``monolithic/src/parallel_to_grayscale.c:5-17``): BT.601 luma computed in
-f32, truncated to u8 (the C cast), written to all three RGB channels, alpha
-passed through. The OpenMP ``parallel for`` over pixels becomes a Pallas grid
-of row-strips; each strip is one (C, TH, W) u8 VMEM block processed on the
-VPU, with the grid pipelined by Mosaic (HBM->VMEM DMA overlapped with
-compute), which is the TPU-idiomatic replacement for thread fork/join.
+(``monolithic/src/parallel_to_grayscale.c:5-17``): BT.601 luma written to
+all three RGB channels, alpha passed through. The reference computes the
+luma in f32 and C-casts to u8; this kernel computes it in FIXED-POINT
+integer arithmetic instead — ``(19595*r + 38470*g + 7471*b) >> 16`` with
+weights ``round(w * 2**16)`` (``xla_ref.LUMA_FIX_*``) — because int32
+multiply-shift vectorizes on the VPU with no int->float->int conversions.
+The two roundings straddle the same real-valued luma, so outputs differ
+from the C binary by at most +-1 u8 step, inside the agreed golden-parity
+tolerance (SURVEY.md §7; pinned by tests/test_golden_parity.py, which also
+documents the skew-rate bound). The OpenMP ``parallel for`` over pixels
+becomes a Pallas grid of row-strips; each strip is one (C, TH, W) u8 VMEM
+block processed on the VPU, with the grid pipelined by Mosaic (HBM->VMEM
+DMA overlapped with compute), which is the TPU-idiomatic replacement for
+thread fork/join.
 """
 
 from __future__ import annotations

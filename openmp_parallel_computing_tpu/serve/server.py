@@ -30,6 +30,7 @@ import functools
 import json
 import math
 import queue as queue_mod
+import re
 import tempfile
 import threading
 import time
@@ -47,6 +48,10 @@ from openmp_parallel_computing_tpu.ops.runner import (
     pad_rows,
 )
 from openmp_parallel_computing_tpu.utils.config import ServeConfig
+from openmp_parallel_computing_tpu.utils.httpguard import (
+    BodyTooLarge,
+    read_body,
+)
 from openmp_parallel_computing_tpu.utils.metrics import registry as metrics
 
 
@@ -133,8 +138,91 @@ class _ShapeGate:
             return True
 
 
+_SESSION_RE = re.compile(r"^[A-Za-z0-9_.-]{1,64}$")
+
+
+class _SessionStore:
+    """Receding-horizon session state for ``/control`` (round 5).
+
+    A stateless control endpoint re-solves every frame from a zero plan
+    and zero duals — the framework's own closed-loop features (the
+    shift-by-one warm start and the decayed ADMM dual carry,
+    ``models/mpc/runtime.py``) never reach the serving tier. A client
+    that sends a ``session`` token binds its request sequence to a
+    carried ``(us0, y0)`` pair: after each solve the server shifts the
+    optimized plan and the decayed scaled duals exactly the way
+    ``MPCRuntime.step`` does (the one ``solver._shift_tail_zero``
+    convention every loop shares), and seeds the next request of that
+    session with them. With the adaptive budget
+    (``MPCConfig.admm_iters_extra``) a settled session then runs at the
+    reduced base budget — warm requests are measurably cheaper AND
+    better-conditioned than the stateless path
+    (results/tpu_v5e/control_session_r5.json).
+
+    Bounded two ways (both config-driven, ``ServeConfig.max_sessions`` /
+    ``session_idle_s``): least-recently-used sessions are evicted past
+    the cap, and idle sessions expire — an evicted session degrades to
+    one cold frame, it does not error. Per-session state is two
+    (horizon, 6) f32 arrays, so the default cap holds ~100 KB total.
+    """
+
+    def __init__(self, cap: int = ServeConfig.max_sessions,
+                 idle_s: float = ServeConfig.session_idle_s):
+        self._lock = threading.Lock()
+        self._d: collections.OrderedDict = collections.OrderedDict()
+        self.cap = cap
+        self.idle_s = idle_s
+
+    def get(self, sid: str, horizon: int, m: int) -> dict | None:
+        """Fetch-and-touch; None when absent/expired or when the session
+        was created under a different (horizon, features) — a changed
+        problem shape makes the carried plan meaningless, so it restarts
+        cold rather than erroring."""
+        with self._lock:
+            st = self._d.get(sid)
+            if st is None:
+                return None
+            if (time.monotonic() - st["t"] > self.idle_s
+                    or st["h"] != horizon or st["m"] != m):
+                del self._d[sid]
+                return None
+            self._d.move_to_end(sid)
+            return st
+
+    def put(self, sid: str, horizon: int, m: int, us0, y0,
+            frames: int) -> None:
+        with self._lock:
+            self._d[sid] = {"h": horizon, "m": m, "us0": us0, "y0": y0,
+                            "frames": frames, "t": time.monotonic()}
+            self._d.move_to_end(sid)
+            now = time.monotonic()
+            # Idle expiry first (oldest-touched live at the front), then
+            # LRU past the cap.
+            while self._d:
+                k = next(iter(self._d))
+                if now - self._d[k]["t"] > self.idle_s:
+                    del self._d[k]
+                else:
+                    break
+            while len(self._d) > self.cap:
+                self._d.popitem(last=False)
+
+    def drop(self, sid: str) -> None:
+        with self._lock:
+            self._d.pop(sid, None)
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._d)
+
+
 _warmed = _WarmCache()
 _shape_gate = _ShapeGate()
+_sessions = _SessionStore()
+
+# Ingestion cap (bytes): requests declaring more are 413'd before the
+# body is read (utils.httpguard.read_body). Resized by serve().
+_max_body = ServeConfig.max_body_mb * 1024 * 1024
 
 # Bound on concurrent device computations. Request threads past the limit
 # wait here instead of queueing work on the chip (ServeConfig.max_inflight;
@@ -546,8 +634,7 @@ class Handler(BaseHTTPRequestHandler):
             return
         t_start = time.perf_counter()
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
+            body = read_body(self, _max_body)
             fields = _parse_multipart(self.headers.get("Content-Type", ""),
                                       body)
             image = fields.get("image")
@@ -577,6 +664,10 @@ class Handler(BaseHTTPRequestHandler):
                 # PNG encoding dominates serving latency otherwise.
                 imgio.save_png(dst, out_hwc, compression=1)
                 png = dst.read_bytes()
+        except BodyTooLarge as exc:
+            metrics.inc("serve.rejected_large")
+            self.send_error(413, str(exc))  # body never read
+            return
         except Exception as exc:  # reference 500s with logged stderr
             metrics.inc("serve.errors")
             self.log_error("processing failed: %r", exc)
@@ -596,9 +687,8 @@ class Handler(BaseHTTPRequestHandler):
 
     def _do_control(self):
         try:
-            length = int(self.headers.get("Content-Length", 0))
             fields = _parse_multipart(self.headers.get("Content-Type", ""),
-                                      self.rfile.read(length))
+                                      read_body(self, _max_body))
             image = fields.get("image")
             if not isinstance(image, bytes) or not image:
                 self.send_error(400, "missing multipart field 'image'")
@@ -608,6 +698,10 @@ class Handler(BaseHTTPRequestHandler):
                 src.write_bytes(image)
                 frame = imgio.load(src)
             result = control_request(frame, fields)
+        except BodyTooLarge as exc:  # before ValueError: it subclasses it
+            metrics.inc("serve.rejected_large")
+            self.send_error(413, str(exc))
+            return
         except ValueError as exc:
             self.send_error(400, str(exc))
             return
@@ -644,11 +738,12 @@ class Handler(BaseHTTPRequestHandler):
 
 def serve(cfg: ServeConfig | None = None) -> ThreadingHTTPServer:
     cfg = cfg or ServeConfig()
-    global _device_slots
+    global _device_slots, _max_body
     _batcher.configure(cfg.batch_window_ms / 1e3, cfg.max_batch,
                        default_deadline_s=cfg.control_deadline_ms / 1e3)
     _device_slots = threading.BoundedSemaphore(max(1, cfg.max_inflight))
     _shape_gate.cap = max(1, cfg.max_shapes)
+    _max_body = max(1, cfg.max_body_mb) * 1024 * 1024
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), Handler)
     return httpd
 

@@ -106,6 +106,23 @@ class MPCConfig:
     # part of the jit static key, so flipping it retraces rather than
     # reusing the other path's executable.
     full_solve: bool = False
+    # Quality-gated adaptive budget (round 5): after the admm_iters base
+    # iterations, run admm_iters_extra FURTHER ADMM iterations only when
+    # the batch-max primal residual max|us - z| still exceeds admm_tol —
+    # one scalar reduction and a lax.cond around a fixed-shape scan, so
+    # the whole thing stays jit/scan-safe and the shapes static. The
+    # gating is BATCH-GLOBAL in every backend (one predicate for the
+    # whole solve), which keeps the four backends numerically equivalent
+    # (per-scenario gating would diverge between the vmapped reference
+    # path and the lanes kernels). 0 = off (fixed budget, the pre-r5
+    # behavior, bit-identical). With the dual warm start carrying the
+    # scaled duals between frames, the settled receding-horizon loop
+    # passes the residual check almost every frame and runs at the
+    # reduced base budget; cold starts and transients trip the check and
+    # get the full budget — the hybrid VERDICT r4 asked for (see
+    # docs/DESIGN.md §2j and results/cpu/adaptive_budget_quality.json).
+    admm_iters_extra: int = 0
+    admm_tol: float = 0.0
     # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
     # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost
     # terms (the edge field is piecewise-linear), so large rho slows
@@ -179,6 +196,18 @@ class ServeConfig:
     # horizon/features/passes allowlists. First-come shapes are admitted;
     # past the cap, unseen shapes get a 400.
     max_shapes: int = 16
+    # Ingestion cap: requests declaring a body larger than this are
+    # rejected with 413 BEFORE the body is read (utils.httpguard), so one
+    # crafted Content-Length cannot buffer the process into OOM. 64 MiB
+    # clears any realistic camera frame (a 6 MP PNG is ~10-30 MB).
+    max_body_mb: int = 64
+    # Bound on per-/control receding-horizon SESSIONS held in memory
+    # (warm-start plan + carried duals per session, ~horizon*6 floats
+    # each): least-recently-used sessions past the cap are evicted, as
+    # are sessions idle longer than session_idle_s. A fleet of real
+    # controllers at one session per camera sits far below the cap.
+    max_sessions: int = 256
+    session_idle_s: float = 300.0
 
 
 @dataclasses.dataclass
@@ -191,6 +220,17 @@ class DispatchConfig:
     root: str = "/tmp/ompc_dispatch"
     queue: str = "grayscale"
     visibility_timeout_s: float = 60.0
+    # Ingestion cap for the frontend's and broker's HTTP surfaces: bodies
+    # declaring more than this are 413'd before being read (see
+    # ServeConfig.max_body_mb).
+    max_body_mb: int = 64
+    # Shared secret for the broker's MUTATING routes (queue publish/claim/
+    # ack/nack, object put/delete): clients send it as X-Auth-Token.
+    # Empty = auth disabled (single-host filesystem default, where Unix
+    # permissions do the job). Set via OMPC_DISPATCH_AUTH_TOKEN to span
+    # machines the way the reference's RabbitMQ/MinIO require credentials
+    # (docker-compose.yml:5-17).
+    auth_token: str = ""
 
 
 @dataclasses.dataclass
