@@ -228,9 +228,17 @@ def _edge_val_batch(pyramid, ps_b, shape):
     return jax.vmap(jax.vmap(lambda p: eo(pyramid, p)))(ps_b)
 
 
-def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
-                  backward_fn=riccati.backward) -> Solution:
-    """Solve one scenario against a shared edge cost pyramid.
+def _single_admm(pyramid, shape, scen: Scenario, cfg: MPCConfig,
+                 backward_fn=riccati.backward):
+    """One-scenario ADMM machinery as ``(init, run, finalize)`` closures.
+
+    ``init() -> (us, z, y)`` builds the ADMM carry from the scenario,
+    ``run(carry, n)`` advances it ``n`` iterations (a fixed-length scan),
+    and ``finalize(carry) -> Solution`` does the feasible rollout + cost.
+    Split this way so the ADAPTIVE budget (``cfg.admm_iters_extra``) can
+    gate a continuation on the BATCH-max residual from outside the vmap —
+    per-scenario gating here would silently diverge from the lanes
+    backend's batch-global predicate (see ``_solve_batch_ref``).
 
     ``backward_fn``: the Riccati backward implementation — sequential scan
     by default, ``riccati.backward_assoc`` for the log-depth backend."""
@@ -325,19 +333,84 @@ def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
         y = y + uh - z
         return (us, z, y), None
 
-    z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
-    y0 = scen.y0 if scen.y0 is not None else jnp.zeros_like(us0)
-    (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
-                                 length=cfg.admm_iters)
+    def init():
+        z0 = jnp.clip(us0, -cfg.u_limit, cfg.u_limit)
+        y0 = scen.y0 if scen.y0 is not None else jnp.zeros_like(us0)
+        return (us0, z0, y0)
 
-    ps = dynamics.rollout(scen.p0, z, scen.depth, cfg.dt)
-    return Solution(
-        us=z,
-        ps=ps,
-        cost=riccati.trajectory_cost(stage, terminal, ps, z),
-        primal_residual=jnp.max(jnp.abs(us - z)),
-        dual=y if scen.y0 is not None else None,
-    )
+    def run(carry, n: int):
+        carry, _ = jax.lax.scan(admm_body, carry, None, length=n)
+        return carry
+
+    def finalize(carry) -> Solution:
+        us, z, y = carry
+        ps = dynamics.rollout(scen.p0, z, scen.depth, cfg.dt)
+        return Solution(
+            us=z,
+            ps=ps,
+            cost=riccati.trajectory_cost(stage, terminal, ps, z),
+            primal_residual=jnp.max(jnp.abs(us - z)),
+            dual=y if scen.y0 is not None else None,
+        )
+
+    return init, run, finalize
+
+
+def _solve_single(pyramid, shape, scen: Scenario, cfg: MPCConfig,
+                  backward_fn=riccati.backward) -> Solution:
+    """Solve one scenario against a shared edge cost pyramid (fixed
+    budget; the adaptive-budget reference path goes through
+    ``_solve_batch_ref``, which needs the closures separately)."""
+    init, run, finalize = _single_admm(pyramid, shape, scen, cfg,
+                                       backward_fn)
+    return finalize(run(init(), cfg.admm_iters))
+
+
+def _adaptive_extra(carry, us, z, cfg: MPCConfig, run_extra):
+    """Shared adaptive-budget gate: when the BATCH-max primal residual
+    after the base iterations still exceeds ``cfg.admm_tol``, run the
+    ``cfg.admm_iters_extra`` continuation; otherwise keep the carry.
+    One scalar reduction + ``lax.cond`` around a fixed-length scan —
+    jit- and scan-body-safe, identical semantics in every backend."""
+    resid = jnp.max(jnp.abs(us - z))
+    return jax.lax.cond(resid > cfg.admm_tol, run_extra,
+                        lambda c: c, carry)
+
+
+def _solve_batch_ref(pyramid, shape, scen: Scenario, cfg: MPCConfig,
+                     backward_fn=riccati.backward) -> Solution:
+    """Vmapped per-scenario XLA solve (the audit/fallback backends), with
+    the adaptive budget gated on the BATCH-max residual from outside the
+    vmap — a per-scenario ``lax.cond`` would lower to a select under vmap
+    and, worse, gate each scenario on its own residual, diverging from
+    the lanes backend's batch-global predicate."""
+    batched = _pyramid_batched(pyramid)
+
+    def vb(f):
+        """Batch ``f(pyr, scen_row, *rest)``: pyramid levels map with the
+        batch when per-scenario, close over as shared constants else."""
+        if batched:
+            return lambda *a: jax.vmap(f)(pyramid, *a)
+        return lambda *a: jax.vmap(functools.partial(f, pyramid))(*a)
+
+    def base(pyr, s):
+        init, run, _ = _single_admm(pyr, shape, s, cfg, backward_fn)
+        return run(init(), cfg.admm_iters)
+
+    def extra(pyr, s, c):
+        _, run, _ = _single_admm(pyr, shape, s, cfg, backward_fn)
+        return run(c, cfg.admm_iters_extra)
+
+    def fin(pyr, s, c):
+        *_, finalize = _single_admm(pyr, shape, s, cfg, backward_fn)
+        return finalize(c)
+
+    carry = vb(base)(scen)
+    if cfg.admm_iters_extra:
+        us, z, _ = carry
+        carry = _adaptive_extra(carry, us, z, cfg,
+                                lambda c: vb(extra)(scen, c))
+    return vb(fin)(scen, carry)
 
 
 def _solve_batch_fused(pyramid, shape, scen: Scenario,
@@ -434,6 +507,11 @@ def _solve_batch_fused(pyramid, shape, scen: Scenario,
     y0 = scen.y0 if scen.y0 is not None else jnp.zeros_like(us0)
     (us, z, y), _ = jax.lax.scan(admm_body, (us0, z0, y0), None,
                                  length=cfg.admm_iters)
+    if cfg.admm_iters_extra:
+        (us, z, y) = _adaptive_extra(
+            (us, z, y), us, z, cfg,
+            lambda c: jax.lax.scan(admm_body, c, None,
+                                   length=cfg.admm_iters_extra)[0])
 
     ps = rollout_b(scen.p0, z, scen.depth)
     if qe:
@@ -498,6 +576,12 @@ class _SweepLanes:
                           and est["multi"] < 10 * 1024 * 1024)
         self.use_full = (cfg.full_solve and cfg.edge_refresh == "solve"
                          and est["full"] < 10 * 1024 * 1024)
+        if cfg.full_solve and cfg.admm_iters_extra:
+            raise ValueError(
+                "admm_iters_extra needs the scan path (the adaptive "
+                "continuation wraps the ADMM scan in a lax.cond); "
+                "full_solve runs a fixed budget inside one kernel — "
+                "unset one of them")
 
     # -- layout ------------------------------------------------------------
 
@@ -694,9 +778,20 @@ class _SweepLanes:
                 u_limit=cfg.u_limit, relax=cfg.admm_relax, **kw)
             y_l = None
         else:
-            (us_l, ps_l, z_l, y_l, _), _ = jax.lax.scan(
+            carry, _ = jax.lax.scan(
                 admm_body, (us_l, ps_l, z0, y0, g_solve0), None,
                 length=cfg.admm_iters)
+            if cfg.admm_iters_extra:
+                # Adaptive budget: the continuation scan runs only when
+                # the batch-max residual says the base budget has not
+                # settled (padding lanes solve the all-zeros dummy
+                # problem, residual 0 — they cannot trip the gate).
+                carry = _adaptive_extra(
+                    carry, carry[0], carry[2], cfg,
+                    lambda c: jax.lax.scan(
+                        admm_body, c, None,
+                        length=cfg.admm_iters_extra)[0])
+            us_l, ps_l, z_l, y_l, _ = carry
 
             # Final feasible controls + their true trajectory/cost.
             ps_final_l = rollout_nominal(z_l, z_l, y_l)
@@ -785,12 +880,7 @@ class VisualServoMPC:
             return _solve_batch_fused(pyramid, shape, scen, self.cfg)
         bwd = (riccati.backward_assoc if self.cfg.backend == "assoc"
                else riccati.backward)
-        if _pyramid_batched(pyramid):
-            return jax.vmap(lambda pyr, s: _solve_single(
-                pyr, shape, s, self.cfg, bwd))(pyramid, scen)
-        return jax.vmap(
-            lambda s: _solve_single(pyramid, shape, s, self.cfg,
-                                    bwd))(scen)
+        return _solve_batch_ref(pyramid, shape, scen, self.cfg, bwd)
 
     @functools.partial(jax.jit, static_argnums=0)
     def solve_batch_multi(self, edge_maps: jax.Array,

@@ -890,3 +890,77 @@ class TestDualWarmStart:
         u_half, _, _ = mpc_half.receding_horizon(frame, scen, 5)
         assert not np.allclose(np.asarray(u_half)[1:],
                                np.asarray(u_cold)[1:], atol=1e-7)
+
+
+class TestAdaptiveBudget:
+    """Quality-gated adaptive ADMM budget (MPCConfig.admm_iters_extra /
+    admm_tol, round 5): after the base iterations, a continuation of
+    extra iterations runs iff the BATCH-max primal residual exceeds the
+    tolerance. The gating is batch-global in every backend, so the two
+    boundary cases pin it exactly: a tolerance of 0 must reproduce the
+    fixed (base+extra) budget bit-for-bit, an unreachable tolerance the
+    fixed base budget."""
+
+    def _solve(self, edge, scen, **kw):
+        cfg = MPCConfig(horizon=8, num_features=4, q_edge=0.1, **kw)
+        return VisualServoMPC(cfg).solve_batch(edge, scen)
+
+    @pytest.fixture()
+    def edge_and_scen(self):
+        rng = np.random.default_rng(83)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        scen = VisualServoMPC(MPCConfig(horizon=8, num_features=4)
+                              ).random_scenarios(jax.random.PRNGKey(29), 6)
+        return edge, scen
+
+    @pytest.mark.parametrize("backend",
+                             ["sweep", "fused", "reference", "assoc"])
+    def test_boundary_cases_bit_exact(self, edge_and_scen, backend):
+        edge, scen = edge_and_scen
+        trig = self._solve(edge, scen, backend=backend, admm_iters=2,
+                           admm_iters_extra=3, admm_tol=0.0)
+        fixed5 = self._solve(edge, scen, backend=backend, admm_iters=5)
+        np.testing.assert_array_equal(np.asarray(trig.us),
+                                      np.asarray(fixed5.us))
+        skip = self._solve(edge, scen, backend=backend, admm_iters=2,
+                           admm_iters_extra=3, admm_tol=1e9)
+        fixed2 = self._solve(edge, scen, backend=backend, admm_iters=2)
+        np.testing.assert_array_equal(np.asarray(skip.us),
+                                      np.asarray(fixed2.us))
+
+    @pytest.mark.parametrize("backend", ["fused", "reference", "assoc"])
+    def test_backends_agree_at_mid_tolerance(self, edge_and_scen, backend):
+        edge, scen = edge_and_scen
+        kw = dict(admm_iters=2, admm_iters_extra=3, admm_tol=0.05)
+        sb = self._solve(edge, scen, backend=backend, **kw)
+        ss = self._solve(edge, scen, backend="sweep", **kw)
+        np.testing.assert_allclose(np.asarray(ss.us), np.asarray(sb.us),
+                                   rtol=2e-2, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ss.cost),
+                                   np.asarray(sb.cost),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_full_solve_conflict_raises(self, edge_and_scen):
+        edge, scen = edge_and_scen
+        with pytest.raises(ValueError, match="admm_iters_extra"):
+            self._solve(edge, scen, backend="sweep", edge_refresh="solve",
+                        full_solve=True, admm_iters_extra=2)
+
+    @pytest.mark.parametrize("backend", ["sweep", "reference"])
+    def test_receding_loop_with_adaptive_budget(self, backend):
+        """The cond-gated continuation must compose with the scan-resident
+        receding loop and the dual carry (the headline configuration)."""
+        rng = np.random.default_rng(89)
+        frame = jnp.asarray(
+            rng.integers(0, 256, size=(3, 64, 128), dtype=np.uint8))
+        frames = jnp.stack([frame, jnp.roll(frame, 11, axis=-1)])
+        cfg = MPCConfig(horizon=8, num_features=4, q_edge=0.1,
+                        admm_iters=3, admm_iters_extra=2, admm_tol=0.05,
+                        backend=backend, edge_refresh="solve")
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(31), 5)
+        u0s, costs, scen_out = mpc.receding_horizon_frames(frames, scen, 6)
+        assert np.isfinite(np.asarray(u0s)).all()
+        assert np.isfinite(np.asarray(costs)).all()
+        assert scen_out.y0 is not None          # dual carry still active
+        assert np.abs(np.asarray(u0s)).max() <= cfg.u_limit + 1e-6
