@@ -15,7 +15,11 @@ processed PNG with an ``X-Elapsed`` timing header. Differences, by design:
 - concurrent ``/control`` requests micro-batch into one device solve
   (``ControlBatcher``) and device work is bounded by a semaphore — the
   batched-serving design SURVEY §2a calls for, instead of the reference's
-  one-subprocess-per-request model.
+  one-subprocess-per-request model;
+- a ``session`` form field binds a request sequence to carried
+  receding-horizon state (warm-start plan + decayed ADMM duals,
+  ``_SessionStore``) — the serving surface of ``MPCRuntime``'s carry,
+  so a live controller is not re-solved from zero every frame.
 
 Endpoints: POST /grayscale, /edge (fused sobel pipeline), /blur, /control;
 GET /healthz, /metricz.
@@ -316,10 +320,12 @@ class _PendingControl:
     """One /control request waiting in the micro-batch collector."""
 
     __slots__ = ("frame", "p0", "target", "depth", "horizon", "event",
-                 "result", "error", "t_submit", "deadline_s")
+                 "result", "error", "t_submit", "deadline_s", "sid",
+                 "us0", "y0", "session_frames")
 
     def __init__(self, frame, p0, target, depth, horizon,
-                 deadline_s: float | None = None):
+                 deadline_s: float | None = None, sid: str | None = None,
+                 us0=None, y0=None, session_frames: int = 0):
         self.frame = frame          # (C, H, W) u8
         self.p0 = p0
         self.target = target
@@ -330,10 +336,22 @@ class _PendingControl:
         self.error: Exception | None = None
         self.t_submit = time.perf_counter()
         self.deadline_s = deadline_s   # None = no staleness bound
+        # Receding-horizon session carry (_SessionStore): the warm-start
+        # plan and decayed scaled duals from this session's last solve
+        # (zeros on a fresh session). None sid = stateless request.
+        self.sid = sid
+        self.us0 = us0                 # (H, 6) f32 | None
+        self.y0 = y0                   # (H, 6) f32 | None
+        self.session_frames = session_frames
 
     @property
     def key(self):
-        return (self.horizon, self.depth.size, self.frame.shape)
+        # Stateful requests batch separately: the warm solve carries
+        # Scenario.y0 and returns Solution.dual, a different traced
+        # program than the cold path (which stays bit-identical and
+        # pays nothing for the session feature).
+        return (self.horizon, self.depth.size, self.frame.shape,
+                self.sid is not None)
 
 
 class ControlBatcher:
@@ -396,11 +414,13 @@ class ControlBatcher:
 
     def submit(self, frame_chw, p0, target, depth, horizon,
                timeout_s: float = 600.0,
-               deadline_s: float | None = None) -> dict:
+               deadline_s: float | None = None, sid: str | None = None,
+               us0=None, y0=None, session_frames: int = 0) -> dict:
         if deadline_s is None:
             deadline_s = self.default_deadline_s
         item = _PendingControl(frame_chw, p0, target, depth, horizon,
-                               deadline_s=deadline_s)
+                               deadline_s=deadline_s, sid=sid, us0=us0,
+                               y0=y0, session_frames=session_frames)
         if deadline_s is not None:
             predicted = self.predicted_wait_s(item.key)
             if predicted is not None and predicted > deadline_s:
@@ -496,7 +516,7 @@ class ControlBatcher:
     def _solve(self, batch: list[_PendingControl]) -> None:
         from openmp_parallel_computing_tpu.models.mpc import Scenario
 
-        horizon, m, shape = batch[0].key
+        horizon, m, shape, stateful = batch[0].key
         B = len(batch)
         bucket = 1 << (B - 1).bit_length()   # pad: compiles only per pow2
         pad = bucket - B
@@ -507,20 +527,30 @@ class ControlBatcher:
             rows += [rows[-1]] * pad
             return jnp.asarray(np.stack(rows))
 
+        # Session requests carry their warm-start plan and decayed duals
+        # into the solve (Scenario.us0/y0 are per-row data, so warm and
+        # fresh sessions batch together); the stateless path keeps the
+        # pre-session zeros graph bit-identical.
+        us0 = (stacked("us0") if stateful
+               else jnp.zeros((bucket, horizon, 6), jnp.float32))
+        y0 = stacked("y0") if stateful else None
         scen = Scenario(p0=stacked("p0"), target=stacked("target"),
-                        depth=stacked("depth"),
-                        us0=jnp.zeros((bucket, horizon, 6), jnp.float32))
+                        depth=stacked("depth"), us0=us0, y0=y0)
         frames = stacked("frame")
-        warm_key = ("control", shape, horizon, m, bucket)
+        warm_key = ("control", shape, horizon, m, bucket, stateful)
 
         def _packed_step():
             u0, sol = mpc.control_step_multi(frames, scen)
-            # ONE device->host fetch for all three results: each separate
+            # ONE device->host fetch for all results: each separate
             # np.asarray pays a full host<->device round trip (~35 ms on
             # the relayed dev runtime — 3 fetches tripled the /control
-            # latency, results/tpu_v5e/control_latency_r3.json).
-            return u0.shape[0], np.asarray(jnp.concatenate(
-                [u0.reshape(-1), sol.cost, sol.primal_residual]))
+            # latency, results/tpu_v5e/control_latency_r3.json). Session
+            # batches additionally fetch the full plan + duals (the
+            # next-frame carry) in the same packed fetch.
+            parts = [u0.reshape(-1), sol.cost, sol.primal_residual]
+            if stateful:
+                parts += [sol.us.reshape(-1), sol.dual.reshape(-1)]
+            return u0.shape[0], np.asarray(jnp.concatenate(parts))
 
         # The warm-up must run the SAME packed computation as the timed
         # path — warming control_step_multi alone would leave the
@@ -532,13 +562,19 @@ class ControlBatcher:
             compute_s = time.perf_counter() - t0
         u0 = packed[:nb * 6].reshape(nb, 6)
         cost = packed[nb * 6:nb * 7]
-        res = packed[nb * 7:]
+        res = packed[nb * 7:nb * 8]
+        if stateful:
+            plan = packed[nb * 8:nb * 8 + nb * horizon * 6].reshape(
+                nb, horizon, 6)
+            dual = packed[nb * 8 + nb * horizon * 6:].reshape(
+                nb, horizon, 6)
         # Solve-time estimate feeding admission control (EWMA per key:
         # the post-warm per-batch device+fetch cost).
         prev = self._solve_s.get(batch[0].key)
         self._solve_s[batch[0].key] = (compute_s if prev is None
                                        else 0.7 * prev + 0.3 * compute_s)
         metrics.observe("serve.batch_size", float(B))
+        tail = np.zeros((1, 6), np.float32)
         for i, it in enumerate(batch):
             it.result = {
                 "u0": u0[i].tolist(),
@@ -547,6 +583,19 @@ class ControlBatcher:
                 "compute_s": round(compute_s, 4),
                 "batched": B,
             }
+            if it.sid is not None:
+                # The MPCRuntime.step carry (solver._shift_tail_zero
+                # convention): shift the optimized plan one step, decay
+                # and shift the scaled duals, store for the session's
+                # next request.
+                _sessions.put(
+                    it.sid, horizon, m,
+                    np.concatenate([plan[i, 1:], tail]),
+                    mpc.cfg.dual_decay * np.concatenate(
+                        [dual[i, 1:], tail]),
+                    it.session_frames + 1)
+                it.result["session"] = it.sid
+                it.result["session_frame"] = it.session_frames + 1
             it.event.set()
 
 
@@ -594,9 +643,30 @@ def control_request(frame_hwc: np.ndarray, fields: dict) -> dict:
         if not math.isfinite(raw_deadline) or raw_deadline < 0:
             raise ValueError("deadline_ms must be a finite number >= 0")
         deadline_s = raw_deadline / 1e3 if raw_deadline else float("inf")
+    # Receding-horizon session: a client-supplied token binds this
+    # request sequence to a carried (plan, duals) pair — the serving
+    # surface of MPCRuntime's warm-start shift + decayed dual carry. An
+    # unknown/expired token (or one whose problem shape changed) starts
+    # a fresh session with a cold carry; the solve itself then runs the
+    # full adaptive budget until the session settles.
+    sid = us0 = y0 = None
+    session_frames = 0
+    if "session" in fields:
+        sid = str(fields["session"])
+        if not _SESSION_RE.match(sid):
+            raise ValueError(
+                "session must match [A-Za-z0-9_.-]{1,64}")
+        st = _sessions.get(sid, horizon, m)
+        if st is None:
+            us0 = np.zeros((horizon, 6), np.float32)
+            y0 = np.zeros((horizon, 6), np.float32)
+        else:
+            us0, y0 = st["us0"], st["y0"]
+            session_frames = st["frames"]
     chw = np.ascontiguousarray(np.transpose(frame_hwc, (2, 0, 1)))
     return _batcher.submit(chw, p0, target, depth, horizon,
-                           deadline_s=deadline_s)
+                           deadline_s=deadline_s, sid=sid, us0=us0,
+                           y0=y0, session_frames=session_frames)
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -744,6 +814,8 @@ def serve(cfg: ServeConfig | None = None) -> ThreadingHTTPServer:
     _device_slots = threading.BoundedSemaphore(max(1, cfg.max_inflight))
     _shape_gate.cap = max(1, cfg.max_shapes)
     _max_body = max(1, cfg.max_body_mb) * 1024 * 1024
+    _sessions.cap = max(1, cfg.max_sessions)
+    _sessions.idle_s = cfg.session_idle_s
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), Handler)
     return httpd
 
