@@ -101,3 +101,52 @@ def test_imgio_jpeg_encode(tmp_path, frame):
     g = tmp_path / "g.jpg"
     imgio.save_jpeg(g, hwc[:, :, 0])
     assert imgio.load(g).shape == (hwc.shape[0], hwc.shape[1], 1)
+
+
+class TestLegacyKernelGoldens:
+    """The legacy conv/reduction kernels pinned against the COMPILED
+    reference C (round 5). old/parallel_convolution.c:8-24 and
+    old/parallel_to_grayscale.c:7-38 never built standalone (their
+    utils.h was not committed — SURVEY C17); tests/golden/legacy supplies
+    the header, compiles the UNMODIFIED reference sources once
+    (generate.py), and commits the outputs. Integer semantics (truncating
+    /GBLUR_NORM, (r+g+b)/3, fused min/max) must match exactly — these
+    are integer kernels, so parity is bitwise, not tolerance-based."""
+
+    @pytest.fixture(scope="class")
+    def legacy(self):
+        return np.load(GOLDEN / "legacy" / "legacy_golden.npz")
+
+    @pytest.fixture(scope="class")
+    def chw(self, legacy):
+        return np.ascontiguousarray(
+            np.transpose(legacy["input"], (2, 0, 1)))
+
+    def test_gaussian_conv_matches_reference(self, legacy, chw):
+        from openmp_parallel_computing_tpu.ops.conv import conv3x3
+
+        ours = np.asarray(conv3x3(chw, integer=True, clamp_u8=False))
+        np.testing.assert_array_equal(
+            ours, np.transpose(legacy["gblur"], (2, 0, 1)))
+
+    def test_asymmetric_taps_pin_orientation(self, legacy, chw):
+        """A symmetric Gaussian cannot distinguish correlation from
+        convolution; the 1..9 kernel can. The reference computes
+        CORRELATION (img[r+kr][c+kc] * k[kr][kc], no flip)."""
+        from openmp_parallel_computing_tpu.ops.conv import conv3x3
+
+        taps = ((1, 2, 3), (4, 5, 6), (7, 8, 9))
+        ours = np.asarray(conv3x3(chw, taps=taps, norm=16, integer=True,
+                                  clamp_u8=False))
+        np.testing.assert_array_equal(
+            ours, np.transpose(legacy["asym"], (2, 0, 1)))
+
+    def test_gray_minmax_matches_reference(self, legacy, chw):
+        from openmp_parallel_computing_tpu.ops.reductions import (
+            grayscale_mean_minmax)
+
+        gray, gmin, gmax = grayscale_mean_minmax(chw)
+        np.testing.assert_array_equal(
+            np.asarray(gray), np.transpose(legacy["gray"], (2, 0, 1)))
+        assert int(gmin) == int(legacy["minmax"][0])
+        assert int(gmax) == int(legacy["minmax"][1])
