@@ -24,7 +24,21 @@ import statistics
 import time
 
 
-def run(batches, admm_iters, steps: int, trials: int,
+def parse_arm(spec: str):
+    """"admm[:extra:tol][:cold]" -> (admm, extra, tol, dual). Examples:
+    "5" (fixed 1x5 + dual carry), "5:cold", "3:2:0.1" (the shipped r5
+    adaptive arm), "3:2:0.1:cold"."""
+    parts = spec.split(":")
+    dual = True
+    if parts[-1] in ("cold", "dual"):
+        dual = parts.pop() == "dual"
+    admm = int(parts[0])
+    extra = int(parts[1]) if len(parts) > 1 else 0
+    tol = float(parts[2]) if len(parts) > 2 else 0.0
+    return admm, extra, tol, dual
+
+
+def run(batches, arms, steps: int, trials: int,
         horizon: int = 20) -> list[dict]:
     import jax
     import jax.numpy as jnp
@@ -42,10 +56,10 @@ def run(batches, admm_iters, steps: int, trials: int,
 
     rows = []
     for B in batches:
-        for admm in admm_iters:
-            for dual in (False, True):
+        for admm, extra, tol, dual in arms:
                 cfg = MPCConfig(horizon=horizon, num_features=8,
                                 scenarios=B, admm_iters=admm,
+                                admm_iters_extra=extra, admm_tol=tol,
                                 edge_refresh="solve",
                                 dual_warm_start=dual)
                 mpc = VisualServoMPC(cfg)
@@ -67,7 +81,7 @@ def run(batches, admm_iters, steps: int, trials: int,
                 assert np.all(np.isfinite(np.asarray(u0s[-1])))
                 rows.append({
                     "batch": B, "horizon": horizon, "admm": admm,
-                    "dual": dual,
+                    "extra": extra, "tol": tol, "dual": dual,
                     "solves_per_s": int(statistics.median(vals)),
                     "trials": [int(v) for v in vals],
                 })
@@ -78,7 +92,11 @@ def run(batches, admm_iters, steps: int, trials: int,
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batches", default="4096")
-    ap.add_argument("--admm", default="5,3")
+    ap.add_argument("--arms", default="5:cold,5,3,3:2:0.1",
+                    help="comma list of admm[:extra:tol][:cold|:dual] "
+                         "arms (default prices the fixed 1x5 cold/dual, "
+                         "the fixed 1x3-dual option, and the shipped r5 "
+                         "adaptive 3+2@0.1 budget)")
     ap.add_argument("--steps", type=int, default=97)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--horizon", type=int, default=20)
@@ -86,14 +104,15 @@ def main() -> None:
     args = ap.parse_args()
 
     rows = run([int(b) for b in args.batches.split(",") if b],
-               [int(a) for a in args.admm.split(",") if a],
+               [parse_arm(a) for a in args.arms.split(",") if a],
                args.steps, args.trials, horizon=args.horizon)
     out = {"methodology": (
         "device-resident receding_horizon_frames windows (per-step 1080p "
         "perception, ring of 8 distinct frames — the headline bench "
         "methodology), median of trials, result-dependent fetch sync; "
-        "identical solves except MPCConfig.admm_iters / dual_warm_start; "
-        "quality of each point: results/cpu/dual_warm_loop_solve.json"),
+        "identical solves except MPCConfig.admm_iters/_extra/_tol / "
+        "dual_warm_start; quality of each arm: "
+        "results/cpu/dual_warm_loop_solve.json + adaptive_budget_h*.json"),
         "rows": rows}
     if args.out:
         import os

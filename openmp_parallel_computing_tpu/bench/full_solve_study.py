@@ -40,7 +40,8 @@ def loop_throughput(B: int, steps: int, full: bool, sampler: str,
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
     cfg = MPCConfig(scenarios=B, edge_refresh="solve", full_solve=full,
-                    edge_sampler=sampler)
+                    edge_sampler=sampler, admm_iters=5,
+                    admm_iters_extra=0)  # fixed budget: a pure-path A/B
     mpc = VisualServoMPC(cfg)
     frame = load_headline_frame()
     scen = mpc.random_scenarios(jax.random.PRNGKey(0), B)

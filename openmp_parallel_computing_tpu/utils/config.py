@@ -32,15 +32,23 @@ class MPCConfig:
     horizon: int = 20                 # H
     num_features: int = 8             # tracked image-plane feature points
     scenarios: int = 256              # rollout batch per solve
-    # Iteration budget: 1x5 with admm_relax=1.3 (below) matches or beats
-    # the plain-ADMM 3x5 plateau on every quality metric — mean final cost
-    # vs a converged baseline, primal residual, and closed-loop tracking —
-    # at a third of the sweeps (results/cpu/relax_study_solve.json,
-    # relax_loop_solve.json; docs/DESIGN.md §2f). The headline bench (bench.py)
-    # runs exactly these defaults so the published number is the shipped
-    # configuration.
+    # Iteration budget. History: rounds 2-4 shipped a FIXED 1x5 with
+    # admm_relax=1.3 (below) — quality-equivalent to the plain-ADMM 3x5
+    # plateau at a third of the sweeps (results/cpu/relax_study_solve.json,
+    # docs/DESIGN.md §2f). Round 5 ships the ADAPTIVE split of that same
+    # budget: a 1x3 base plus up to 2 residual-gated extra iterations
+    # (admm_iters_extra/admm_tol below). A cold solve's batch-max residual
+    # after 3 iterations always exceeds the gate, so one-shot solve_batch
+    # calls still run the full 5 iterations BIT-IDENTICALLY to the old
+    # defaults (tests/test_solver_quality.py's pinned golden is unchanged);
+    # settled receding-horizon loops with the dual carry pass the gate and
+    # run at the 3-iteration base — the r4 "1x3-dual labeled option" now
+    # quality-gated and default (closed-loop cost within 0.00-0.02% of the
+    # fixed 1x5-cold loop at H=20 and H=50:
+    # results/cpu/adaptive_budget_h{20,50}.json). The headline bench
+    # (bench.py) runs exactly these defaults.
     ilqr_iters: int = 1               # linearize/solve sweeps per ADMM iter
-    admm_iters: int = 5               # constraint-projection iterations
+    admm_iters: int = 3               # base constraint-projection iters
     dt: float = 1.0 / 30.0
     u_limit: float = 1.0              # control box |u| <= u_limit
     q_track: float = 1.0              # feature tracking weight
@@ -120,9 +128,12 @@ class MPCConfig:
     # passes the residual check almost every frame and runs at the
     # reduced base budget; cold starts and transients trip the check and
     # get the full budget — the hybrid VERDICT r4 asked for (see
-    # docs/DESIGN.md §2j and results/cpu/adaptive_budget_quality.json).
-    admm_iters_extra: int = 0
-    admm_tol: float = 0.0
+    # docs/DESIGN.md §2j and results/cpu/adaptive_budget_h{20,50}.json).
+    # Tolerance 0.1 by the CPU quality study: asymptotic closed-loop cost
+    # +0.01% (H=20) / +0.013% (H=50) vs the fixed 1x5-cold loop -- seed
+    # noise -- with the gate firing through the whole transient.
+    admm_iters_extra: int = 2
+    admm_tol: float = 0.1
     # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
     # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost
     # terms (the edge field is piecewise-linear), so large rho slows

@@ -791,6 +791,9 @@ class TestDualWarmStart:
     mean primal residual -35% (results/cpu/dual_warm_loop_solve.json)."""
 
     def _cfg(self, backend, **kw):
+        # admm_iters_extra=0: these tests pin FIXED-budget dual-carry
+        # behavior (the adaptive gate has its own suite below).
+        kw.setdefault("admm_iters_extra", 0)
         return MPCConfig(horizon=6, num_features=2, ilqr_iters=1,
                          admm_iters=3, backend=backend, q_edge=0.1, **kw)
 
@@ -860,7 +863,7 @@ class TestDualWarmStart:
         edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
         cfg = MPCConfig(horizon=4, num_features=2, ilqr_iters=1,
                         admm_iters=2, edge_refresh="solve",
-                        full_solve=True)
+                        full_solve=True, admm_iters_extra=0)
         mpc = VisualServoMPC(cfg)
         scen = mpc.random_scenarios(jax.random.PRNGKey(67), 4)
         with pytest.raises(ValueError, match="full_solve"):
@@ -902,6 +905,7 @@ class TestAdaptiveBudget:
     fixed base budget."""
 
     def _solve(self, edge, scen, **kw):
+        kw.setdefault("admm_iters_extra", 0)   # fixed unless stated
         cfg = MPCConfig(horizon=8, num_features=4, q_edge=0.1, **kw)
         return VisualServoMPC(cfg).solve_batch(edge, scen)
 

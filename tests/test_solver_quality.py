@@ -27,8 +27,12 @@ def test_default_budget_near_converged(edge_map):
     m, h = 4, 20
     base_kwargs = dict(horizon=h, num_features=m)
     fast = VisualServoMPC(MPCConfig(**base_kwargs))  # shipped defaults
+    # r5 defaults: adaptive 1x(3+2@0.1) — a cold solve trips the gate, so
+    # one-shot quality (this test, the pinned golden below) is identical
+    # to the old fixed 1x5.
     assert (fast.cfg.ilqr_iters, fast.cfg.admm_iters,
-            fast.cfg.admm_relax) == (1, 5, 1.3), \
+            fast.cfg.admm_iters_extra, fast.cfg.admm_tol,
+            fast.cfg.admm_relax) == (1, 3, 2, 0.1, 1.3), \
         "defaults moved: update the budget gate AND the quality studies"
     slow = VisualServoMPC(MPCConfig(**base_kwargs, ilqr_iters=8,
                                     admm_iters=15, admm_relax=1.0))
@@ -178,7 +182,8 @@ def test_reduced_warm_budget_with_dual_carry_matches_shipped(edge_map):
         return costs, resid
 
     base = MPCConfig(horizon=10, num_features=4, backend="reference",
-                     edge_refresh="solve")
+                     edge_refresh="solve", admm_iters=5,
+                     admm_iters_extra=0)   # the r2-r4 fixed 1x5 budget
     cost_15, _ = closed_loop(dataclasses.replace(
         base, dual_warm_start=False))
     cost_13d, res_13d = closed_loop(dataclasses.replace(
@@ -187,3 +192,54 @@ def test_reduced_warm_budget_with_dual_carry_matches_shipped(edge_map):
         base, admm_iters=3, dual_warm_start=False))
     assert cost_13d <= cost_15 * 1.01, (cost_13d, cost_15)
     assert res_13d <= res_13c * 1.05, (res_13d, res_13c)
+
+
+def test_undamped_dual_carry_divergence_guard():
+    """Regression for the r4 negative result
+    (results/cpu/dual_warm_loop_h50_gamma1.json): the UNDAMPED dual carry
+    (dual_decay=1.0) destabilizes the H=50 closed loop — by frame ~10 its
+    closed-loop cost visibly decouples from the cold-dual loop (93.5 vs
+    77.3 in the 60-frame study) while the shipped decay 0.5 tracks it.
+    This pins (a) the shipped default stays damped and (b) the mechanism
+    that forced it is still there — if solver changes ever make gamma=1
+    safe, this test failing is the signal to re-measure, not a bug."""
+    import dataclasses
+
+    from openmp_parallel_computing_tpu.ops import xla_ref
+    from openmp_parallel_computing_tpu import data
+
+    assert MPCConfig().dual_decay == 0.5
+
+    frame = data.load_frame_planar()
+    edge = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
+
+    def loop_cost(decay, dual=True, frames=15):
+        cfg = MPCConfig(horizon=50, num_features=8, q_edge=0.1,
+                        edge_refresh="solve", admm_iters=5,
+                        admm_iters_extra=0, dual_warm_start=dual,
+                        dual_decay=decay)
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(0), 32)
+        if dual:
+            scen = scen._replace(y0=jnp.zeros_like(scen.us0))
+        cost = None
+        for _ in range(frames):
+            sol = mpc.solve_batch(edge, scen)
+            cost = float(jnp.mean(sol.cost))
+            sh = jnp.concatenate(
+                [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
+            y0 = None
+            if dual:
+                y0 = decay * jnp.concatenate(
+                    [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])],
+                    axis=1)
+            scen = scen._replace(p0=sol.ps[:, 1], us0=sh, y0=y0)
+        return cost
+
+    cold = loop_cost(0.0, dual=False)
+    damped = loop_cost(0.5)
+    undamped = loop_cost(1.0)
+    assert damped <= cold * 1.03, (damped, cold)
+    assert undamped > cold * 1.10, \
+        f"undamped carry no longer diverges ({undamped} vs {cold}) — " \
+        f"re-measure before relaxing dual_decay"

@@ -305,7 +305,8 @@ class TestFullSolve:
         for flag in (False, True):
             cfg = MPCConfig(horizon=4, num_features=2, ilqr_iters=2,
                             admm_iters=2, edge_refresh="solve",
-                            admm_relax=relax, full_solve=flag)
+                            admm_relax=relax, full_solve=flag,
+                            admm_iters_extra=0)  # fixed-budget comparison
             mpc = VisualServoMPC(cfg)
             if scen is None:
                 scen = mpc.random_scenarios(jax.random.PRNGKey(17), 128)

@@ -151,7 +151,7 @@ class TestSolverLowering:
         def solve(backend):
             cfg = MPCConfig(horizon=h, num_features=m, ilqr_iters=2,
                             admm_iters=2, backend=backend,
-                            edge_refresh="solve",
+                            edge_refresh="solve", admm_iters_extra=0,
                             full_solve=(backend == "sweep"))
             mpc = VisualServoMPC(cfg)
             u0, sol = mpc.control_step(RGB, scen)
