@@ -38,6 +38,71 @@ import threading
 import time
 
 
+def device_decomposition(horizon: int = 20, num_features: int = 8,
+                         seed: int = 0, reps: int = 60) -> dict:
+    """Per-request DEVICE cost of the warm vs cold solve, amortized
+    over a dependent chain (each rep consumes the previous solution, so
+    the relay's fixed per-call cost spreads; a single live request's
+    compute_s is transport-bound — ~6 MB frame upload — and cannot
+    resolve a ms-level solver delta). Both arms run ONE jitted
+    computation per request (solve + carry update)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openmp_parallel_computing_tpu import data
+    from openmp_parallel_computing_tpu.models.mpc import Scenario
+    from openmp_parallel_computing_tpu.models.mpc.solver import (
+        _shift_tail_zero)
+    from openmp_parallel_computing_tpu.serve import server as srv
+    from openmp_parallel_computing_tpu.utils.config import MPCConfig
+
+    rng = np.random.default_rng(seed)
+    m = num_features
+    p0 = rng.uniform(-0.6, 0.6, 2 * m).astype(np.float32)
+    target = rng.uniform(-0.5, 0.5, 2 * m).astype(np.float32)
+    depth = rng.uniform(1.0, 5.0, m).astype(np.float32)
+    mpc = srv._mpc_engine(horizon, m)
+    frame_dev = jax.device_put(jnp.asarray(np.transpose(
+        data.load_frame_hwc(), (2, 0, 1)))[None])
+
+    def chain(warm: bool):
+        scen = Scenario(
+            p0=jnp.asarray(p0)[None], target=jnp.asarray(target)[None],
+            depth=jnp.asarray(depth)[None],
+            us0=jnp.zeros((1, horizon, 6), jnp.float32),
+            y0=jnp.zeros((1, horizon, 6), jnp.float32) if warm
+            else None)
+
+        @jax.jit
+        def one(s):
+            u0, sol = mpc.control_step_multi(frame_dev, s)
+            if warm:
+                return s._replace(
+                    p0=sol.ps[:, 1],
+                    us0=jax.vmap(_shift_tail_zero)(sol.us),
+                    y0=mpc.cfg.dual_decay
+                    * jax.vmap(_shift_tail_zero)(sol.dual))
+            # stateless: next request still depends on this result
+            # (ordering forced) but carries no state
+            return s._replace(p0=sol.ps[:, 1])
+
+        for _ in range(10):            # warm compile + settle
+            scen = one(scen)
+        np.asarray(scen.p0)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            scen = one(scen)
+        np.asarray(scen.p0)            # honest sync
+        return 1e3 * (time.perf_counter() - t0) / reps
+
+    cold_ms = chain(False)
+    warm_ms = chain(True)
+    return {"chain_reps": reps, "cold_ms_per_request": round(
+        cold_ms, 3), "warm_ms_per_request": round(warm_ms, 3),
+        "device_saving_pct": round(100 * (1 - warm_ms / cold_ms), 1)}
+
+
 def run(frames_n: int, horizon: int = 20, num_features: int = 8,
         seed: int = 0) -> dict:
     import jax
@@ -107,55 +172,6 @@ def run(frames_n: int, horizon: int = 20, num_features: int = 8,
             "cost_by_frame": [round(c, 4) for c in costs],
         }
 
-    def device_decomposition(reps: int = 60):
-        """Per-request DEVICE cost of the warm vs cold solve, amortized
-        over a dependent chain (each rep consumes the previous solution,
-        so the relay's fixed per-call cost spreads; on this dev relay a
-        single request's compute_s is transport-bound — ~6 MB frame
-        upload — and cannot resolve a ms-level solver delta)."""
-        from openmp_parallel_computing_tpu.models.mpc import Scenario
-        from openmp_parallel_computing_tpu.models.mpc.solver import (
-            _shift_tail_zero)
-
-        mpc = srv._mpc_engine(horizon, m)
-        frame_dev = jax.device_put(jnp.asarray(np.transpose(
-            data.load_frame_hwc(), (2, 0, 1)))[None])
-
-        def chain(warm: bool):
-            scen = Scenario(
-                p0=jnp.asarray(p0)[None], target=jnp.asarray(target)[None],
-                depth=jnp.asarray(depth)[None],
-                us0=jnp.zeros((1, horizon, 6), jnp.float32),
-                y0=jnp.zeros((1, horizon, 6), jnp.float32) if warm
-                else None)
-
-            def one(s):
-                u0, sol = mpc.control_step_multi(frame_dev, s)
-                if warm:
-                    return s._replace(
-                        p0=sol.ps[:, 1],
-                        us0=jax.vmap(_shift_tail_zero)(sol.us),
-                        y0=mpc.cfg.dual_decay
-                        * jax.vmap(_shift_tail_zero)(sol.dual))
-                # stateless: next request still depends on this result
-                # (ordering forced) but carries no state
-                return s._replace(p0=sol.ps[:, 1])
-
-            for _ in range(10):            # warm compile + settle
-                scen = one(scen)
-            np.asarray(scen.p0)
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                scen = one(scen)
-            np.asarray(scen.p0)            # honest sync
-            return 1e3 * (time.perf_counter() - t0) / reps
-
-        cold_ms = chain(False)
-        warm_ms = chain(True)
-        return {"chain_reps": reps, "cold_ms_per_request": round(
-            cold_ms, 3), "warm_ms_per_request": round(warm_ms, 3),
-            "device_saving_pct": round(100 * (1 - warm_ms / cold_ms), 1)}
-
     try:
         stateless = drive(None)
         print(json.dumps({k: v for k, v in stateless.items()
@@ -165,7 +181,9 @@ def run(frames_n: int, horizon: int = 20, num_features: int = 8,
                           if k != "cost_by_frame"}), flush=True)
         # repeat the stateless arm to bound run-to-run compute noise
         stateless2 = drive(None)
-        decomp = device_decomposition()
+        decomp = device_decomposition(horizon=horizon,
+                                      num_features=num_features,
+                                      seed=seed)
         print(json.dumps(decomp), flush=True)
     finally:
         httpd.shutdown()
@@ -200,13 +218,19 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true",
                     help="debug/shakeout on the CPU backend (timings are "
                          "then meaningless; artifacts come from the TPU)")
+    ap.add_argument("--decomp-only", action="store_true",
+                    help="re-run just the device-chain decomposition "
+                         "(warm vs cold per-request device cost)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    out = run(args.frames, horizon=args.horizon)
+    if args.decomp_only:
+        out = device_decomposition(horizon=args.horizon)
+    else:
+        out = run(args.frames, horizon=args.horizon)
     if args.out:
         import os
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
