@@ -66,6 +66,15 @@ _ALPHAS = (1.0, 0.5, 0.25)  # backtracking candidates, evaluated in parallel
 # single packed tile — so the choice is binary.
 PACK_SPEED = {1: 1.0, 8: 0.97}
 
+# Nominal-rollout path threshold (padded scenarios): up to this batch the
+# rollout runs as an XLA scan of _dyn_step (4096: +20% headline,
+# headline_r5b.json); above it the zero-gain forward_sweep kernel wins
+# (16384: the scan is 17% slower end-to-end — its per-step (n, Bp)
+# intermediates are HBM-bound where the kernel streams VMEM tiles;
+# dual_budget_r5{b,c}.json). Both paths are the same _dyn_step math
+# (equivalence-tested: tests/test_mpc.py::TestRolloutPaths).
+ROLLOUT_SCAN_MAX_BP = 8192
+
 # The whole-solve one-launch kernel (sweep backend, edge_refresh="solve")
 # is selected per config: MPCConfig.full_solve (part of the jit static
 # key). History: measured perf-NEUTRAL vs the scan of multi_sweep launches
@@ -691,14 +700,43 @@ class _SweepLanes:
         sp, cfg, kw = self.sp, self.cfg, self.kw
         h, n, cdim, bshape = self.h, self.n, self.cdim, self.bshape
 
-        zeros_g = jnp.zeros((h + 1, n) + bshape, jnp.float32)
-        zero_gains = (jnp.zeros((h, cdim, n) + bshape, jnp.float32),
-                      jnp.zeros((h, cdim) + bshape, jnp.float32))
-
         def rollout_nominal(us_l, z_l, y_l):
-            """Initial nominal trajectory via the forward kernel with zero
-            gains (every candidate collapses to the nominal)."""
+            """Nominal trajectory of ``us_l`` from ``p0_l``.
+
+            Two numerically equivalent paths, chosen statically by batch
+            size (Bp is trace-static):
+
+            - XLA scan of the kernels' own split-layout ``_dyn_step``
+              (small/medium batches): the zero-gain ``forward_sweep``
+              launch it replaces computes all A line-search candidates
+              plus their costs only to discard them — the r5 16k trace
+              billed the two nominal rollouts at ~2.5 ms/step, ~4x a
+              rollout's work. Switching moved the 4096 headline
+              1,080,192 -> 1,297,673 solves/s (+20%,
+              results/tpu_v5e/headline_r5{,b}.json).
+            - zero-gain ``forward_sweep`` kernel (large batches): at
+              16384 the scan path measured 17% SLOWER end-to-end
+              (dual_budget_r5b.json 835,632 vs 1,013,276) — the scan's
+              per-step (n, Bp) intermediates live in HBM while the
+              kernel streams VMEM-resident tiles, and at 16k lanes the
+              rollout is bandwidth- not compute-bound. Crossover
+              measured between 8192 and 16384 (rollout A/B rows in
+              dual_budget_r5b.json); the threshold picks scan up to
+              8192 lanes.
+            """
+            if self.Bp <= ROLLOUT_SCAN_MAX_BP:
+                del z_l, y_l   # the rollout never consults ADMM state
+
+                def body(p, u_t):
+                    nxt = sp._dyn_step(p, u_t, izd_l, cfg.dt, self.m)
+                    return nxt, nxt
+                _, tail = jax.lax.scan(body, p0_l, us_l)
+                return jnp.concatenate([p0_l[None], tail], axis=0)
             ps0 = jnp.zeros((h + 1, n) + bshape, jnp.float32)
+            zeros_g = jnp.zeros((h + 1, n) + bshape, jnp.float32)
+            zero_gains = (
+                jnp.zeros((h, cdim, n) + bshape, jnp.float32),
+                jnp.zeros((h, cdim) + bshape, jnp.float32))
             ps_c, _, _ = sp.forward_sweep(p0_l, ps0, us_l, *zero_gains,
                                           z_l, y_l, zeros_g, target_l,
                                           izd_l, **kw)
@@ -1111,7 +1149,8 @@ class VisualServoMPC:
     # the other layout's executable.
     def _static_key(self):
         return (dataclasses.astuple(self.cfg),
-                tuple(sorted(PACK_SPEED.items())))
+                tuple(sorted(PACK_SPEED.items())),
+                ROLLOUT_SCAN_MAX_BP)
 
     def __hash__(self):
         return hash(self._static_key())

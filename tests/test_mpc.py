@@ -968,3 +968,46 @@ class TestAdaptiveBudget:
         assert np.isfinite(np.asarray(costs)).all()
         assert scen_out.y0 is not None          # dual carry still active
         assert np.abs(np.asarray(u0s)).max() <= cfg.u_limit + 1e-6
+
+
+class TestRolloutPaths:
+    """The nominal rollout has two batch-size-selected implementations
+    (XLA scan of _dyn_step vs the zero-gain forward_sweep kernel —
+    solver.ROLLOUT_SCAN_MAX_BP). They must produce the same Solution;
+    the threshold is part of the jit static key so an in-process A/B
+    retraces instead of re-timing one path's executable."""
+
+    def _solve(self, edge, scen):
+        cfg = MPCConfig(horizon=8, num_features=4, q_edge=0.1,
+                        edge_refresh="solve")
+        return VisualServoMPC(cfg).solve_batch(edge, scen)
+
+    def test_paths_equivalent(self, monkeypatch):
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+        rng = np.random.default_rng(97)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        scen = VisualServoMPC(MPCConfig(horizon=8, num_features=4)
+                              ).random_scenarios(jax.random.PRNGKey(41), 6)
+        monkeypatch.setattr(S, "ROLLOUT_SCAN_MAX_BP", 1 << 30)
+        scan_sol = self._solve(edge, scen)
+        monkeypatch.setattr(S, "ROLLOUT_SCAN_MAX_BP", 0)
+        kern_sol = self._solve(edge, scen)
+        np.testing.assert_allclose(np.asarray(scan_sol.us),
+                                   np.asarray(kern_sol.us),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(scan_sol.ps),
+                                   np.asarray(kern_sol.ps),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(scan_sol.cost),
+                                   np.asarray(kern_sol.cost),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_threshold_in_static_key(self, monkeypatch):
+        from openmp_parallel_computing_tpu.models.mpc import solver as S
+
+        mpc = VisualServoMPC(MPCConfig(horizon=4, num_features=2))
+        monkeypatch.setattr(S, "ROLLOUT_SCAN_MAX_BP", 0)
+        k0 = mpc._static_key()
+        monkeypatch.setattr(S, "ROLLOUT_SCAN_MAX_BP", 8192)
+        assert mpc._static_key() != k0
