@@ -43,3 +43,20 @@ def small_rgba(rng):
 @pytest.fixture(scope="session")
 def small_gray(rng):
     return rng.integers(0, 256, size=(48, 160), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Evict compiled executables after each test module.
+
+    The full suite compiles ~300 distinct executables into one process;
+    past roughly that count the XLA CPU JIT segfaults inside
+    backend_compile (observed deterministically at ~83% of the r5 suite,
+    reproducible with a clean process table, NOT memory- or
+    stack-limited — 128 GB free, crash persists at 64 MB stack; either
+    half of the suite alone passes). Executables are rarely shared
+    across modules, so per-module eviction costs little and keeps the
+    accumulated JIT state bounded.
+    """
+    yield
+    jax.clear_caches()
