@@ -55,7 +55,6 @@ def device_decomposition(horizon: int = 20, num_features: int = 8,
     from openmp_parallel_computing_tpu.models.mpc.solver import (
         _shift_tail_zero)
     from openmp_parallel_computing_tpu.serve import server as srv
-    from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
     rng = np.random.default_rng(seed)
     m = num_features

@@ -168,6 +168,14 @@ class _SessionStore:
     the cap, and idle sessions expire — an evicted session degrades to
     one cold frame, it does not error. Per-session state is two
     (horizon, 6) f32 arrays, so the default cap holds ~100 KB total.
+
+    Concurrency contract: a real controller issues its session's
+    requests SEQUENTIALLY (each depends on the previous response). Two
+    in-flight requests on one token do not corrupt anything — both read
+    the same carry, the later completion's shifted state wins — but the
+    loser's solve is wasted; the store deliberately does not serialize
+    per-token (a lock per session would let one stalled client hold a
+    batcher slot).
     """
 
     def __init__(self, cap: int = ServeConfig.max_sessions,
