@@ -227,7 +227,7 @@ def edge_cost_pyramid(pyramid, p: jax.Array, height: int,
 
 def edge_cost_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
                          height: int, width: int,
-                         scales=PYRAMID_SCALES) -> jax.Array:
+                         scales=PYRAMID_SCALES, dtype=None) -> jax.Array:
     """Lanes-layout twin of ``edge_cost_pyramid``: coordinates arrive as
     separate x / y arrays of shape (K, m, *B) — the solver's split-state
     lanes layout sliced in half, feature axis at position 1, batch dims
@@ -239,7 +239,14 @@ def edge_cost_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
     transposes that the batch-ceiling study measured as the growing glue
     cost (docs/DESIGN.md §2g). Returns (K, *B) per-state costs (mean
     over levels and features). Equivalence vs ``edge_cost_pyramid`` is
-    tested (tests/test_mpc.py)."""
+    tested (tests/test_mpc.py).
+
+    ``dtype``: storage dtype for the materialized weight tensors and the
+    level (None = float32, bit-identical to the historical path). All
+    contractions accumulate in f32 (``preferred_element_type``); bf16
+    halves the sampler's HBM-bound weight bytes (MPCConfig.sampler_dtype,
+    docs/DESIGN.md §2m)."""
+    dt = jnp.float32 if dtype is None else dtype
     xp = (x + 1.0) * 0.5 * (width - 1)
     yp = (y + 1.0) * 0.5 * (height - 1)
     total = 0.0
@@ -247,15 +254,26 @@ def edge_cost_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
         hf, wf = level.shape
         xl = _clip_coord((xp - (s - 1) / 2.0) / s, float(wf - 1))
         yl = _clip_coord((yp - (s - 1) / 2.0) / s, float(hf - 1))
-        wx = _hat_weights(xl, wf)
-        wy = _hat_weights(yl, hf)
-        e = jnp.einsum("...i,ij,...j->...", wy, level, wx) / 255.0
-        total = total + (1.0 - e)
+        wx = _hat_weights(xl, wf).astype(dt)
+        wy = _hat_weights(yl, hf).astype(dt)
+        # Mean-center the level before any low-precision cast: the field's
+        # DC component (~128 on a 255 scale) would otherwise dominate the
+        # quantization error, while the hat weights sum to 1 so a constant
+        # shift passes through interpolation exactly — store only the
+        # residual in ``dt`` and add the f32 mean back to the scalar
+        # result (the level itself is tiny and shared; the traffic that
+        # ``dt`` halves is the per-point weight tensors).
+        mu = jnp.mean(level) if dt != jnp.float32 else 0.0
+        e = mu + jnp.einsum("...i,ij,...j->...", wy,
+                            (level - mu).astype(dt), wx,
+                            preferred_element_type=jnp.float32)
+        total = total + (1.0 - e / 255.0)
     return jnp.mean(total, axis=1) / len(pyramid)
 
 
 def edge_vg_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
-                       height: int, width: int, scales=PYRAMID_SCALES):
+                       height: int, width: int, scales=PYRAMID_SCALES,
+                       dtype=None):
     """Analytic value+gradient twin of ``edge_cost_pyramid_xy``: one pass
     computes the per-state costs AND d(sum(costs))/d(x, y) — the exact
     pair ``_SweepLanes`` needs per edge linearization — without autodiff.
@@ -275,7 +293,15 @@ def edge_vg_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
     ``dw`` together from one one-hot pair and contracting each level
     exactly twice is the leanest dense-weight formulation; the round-4
     sampler study A/Bs it on-chip.
+
+    ``dtype``: storage dtype for the weight tensors and level (None =
+    float32, bit-identical to the historical path). Coordinates, cell
+    fractions, masks, and all contraction ACCUMULATION stay f32
+    (``preferred_element_type``); under bf16 only the stored weights and
+    level values are rounded — halving the HBM-bound weight bytes that
+    ARE this function's cost (MPCConfig.sampler_dtype, DESIGN §2m).
     """
+    dt = jnp.float32 if dtype is None else dtype
     m = x.shape[1]
     xp = (x + 1.0) * (0.5 * (width - 1))
     yp = (y + 1.0) * (0.5 * (height - 1))
@@ -293,25 +319,36 @@ def edge_vg_pyramid_xy(pyramid, x: jax.Array, y: jax.Array,
         def w_dw(cl, size):
             """Hat weights and their d/d(level coord) from ONE one-hot
             pair (same trick as the Pallas kernel): with a = onehot(c0),
-            b = onehot(c0+1): w = a + f*(b-a), dw = b - a."""
+            b = onehot(c0+1): w = a + f*(b-a), dw = b - a. Stored in
+            ``dt``; the cell fraction ``f`` is computed in the coord
+            dtype (f32) BEFORE rounding, so bf16 costs one rounding of
+            the final weights, not cancellation on the coordinates."""
             if size == 1:
                 # degenerate single-cell axis (_hat_weights' convention):
                 # constant weight, zero gradient
-                one = jnp.ones(cl.shape + (1,), cl.dtype)
+                one = jnp.ones(cl.shape + (1,), dt)
                 return one, jnp.zeros_like(one)
             grid = jnp.arange(size, dtype=cl.dtype)
             c0 = jnp.clip(jnp.floor(cl), 0.0, float(size - 2))[..., None]
-            f = cl[..., None] - c0
-            a = jnp.where(grid == c0, 1.0, 0.0)
-            b = jnp.where(grid == c0 + 1.0, 1.0, 0.0)
+            f = (cl[..., None] - c0).astype(dt)
+            a = jnp.where(grid == c0, 1.0, 0.0).astype(dt)
+            b = jnp.where(grid == c0 + 1.0, 1.0, 0.0).astype(dt)
             dw = b - a
             return a + f * dw, dw
 
+        # Mean-center before any low-precision cast (see
+        # edge_cost_pyramid_xy): the mean rides back onto the VALUE as an
+        # exact f32 scalar, and contributes EXACTLY zero to the gradient
+        # contractions because each dw = b - a sums to zero even in dt.
+        mu = jnp.mean(level) if dt != jnp.float32 else 0.0
+        lv = (level - mu).astype(dt)
         wx, dwx = w_dw(xl, wf)                        # (K, m, *B, wf)
         wy, dwy = w_dw(yl, hf)                        # (K, m, *B, hf)
-        t2 = jnp.einsum("...i,ij->...j", wy, level)   # (K, m, *B, wf)
-        t1 = jnp.einsum("...j,ij->...i", wx, level)   # (K, m, *B, hf)
-        e = jnp.sum(wy * t1, axis=-1)                 # == wy . L . wx
+        t2 = jnp.einsum("...i,ij->...j", wy, lv,      # (K, m, *B, wf)
+                        preferred_element_type=jnp.float32)
+        t1 = jnp.einsum("...j,ij->...i", wx, lv,      # (K, m, *B, hf)
+                        preferred_element_type=jnp.float32)
+        e = mu + jnp.sum(wy * t1, axis=-1)            # == wy . L . wx
         total = total + (1.0 - e * (1.0 / 255.0))
         # Border mask + chain factors (level coord -> normalized coord).
         mx = ((xl_raw >= 0.0) & (xl_raw <= float(wf - 1))).astype(x.dtype)

@@ -563,6 +563,10 @@ class _SweepLanes:
         self.n = 2 * self.m
         self.cdim = dynamics.CONTROL_DIM
         self.qe = cfg.q_edge
+        # Weight-tensor storage dtype for the dense lanes samplers
+        # (None = f32, bit-identical; see MPCConfig.sampler_dtype).
+        self.sampler_dt = (jnp.bfloat16
+                           if cfg.sampler_dtype == "bfloat16" else None)
         # Layout choice: sublane-packed (s, 128) tiles vs lane-only; pick
         # the factor minimizing padded-work / measured speed.
         pack = _choose_pack(B)
@@ -643,7 +647,8 @@ class _SweepLanes:
                 self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape,
                 scales=costs.PYRAMID_SCALES)
         return costs.edge_cost_pyramid_xy(
-            self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape)
+            self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape,
+            dtype=self.sampler_dt)
 
     def edge_grads(self, ps_l):
         """d(edge cost summed over the trajectory)/d ps_l, lanes layout.
@@ -680,7 +685,8 @@ class _SweepLanes:
         if self.cfg.edge_sampler == "analytic":
             m = self.m
             _, gx, gy = costs.edge_vg_pyramid_xy(
-                self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape)
+                self.pyramid, ps_l[:, :m], ps_l[:, m:], *self.shape,
+                dtype=self.sampler_dt)
             return jnp.concatenate([gx, gy], axis=1)
         return jax.grad(lambda ps: jnp.sum(self.edge_vals(ps)))(ps_l)
 

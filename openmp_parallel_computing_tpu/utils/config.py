@@ -103,6 +103,21 @@ class MPCConfig:
     # 4096: 237k -> 306k — flattening BASELINE config 5 to within ~5%
     # of its small-batch rate).
     edge_sampler: str = "analytic"
+    # Storage dtype for the dense sampler's weight tensors / level fields
+    # ("float32" or "bfloat16"; sweep backend, "xla"/"analytic" samplers).
+    # The sampler's cost at large point counts is the HBM materialization
+    # of the hat-weight tensors (~188 floats per sampled point — the §2g
+    # floor); bfloat16 halves those bytes and all contractions accumulate
+    # in f32 (``preferred_element_type``), so only the stored weights and
+    # the level values are quantized: positions to ~2^-8 of a pyramid
+    # cell (0.06 px at the 16-px base scale) and edge values to ~0.4%.
+    # The quadratic tracking term is exact f32 everywhere regardless —
+    # only the Gauss-Newton edge-attraction gradient sees the noise.
+    # Part of the jit static key. Default f32: bit-identical to pre-r5b;
+    # quality + throughput of bf16 measured in
+    # results/cpu/sampler_dtype_quality.json /
+    # results/tpu_v5e/sampler_dtype_r5.json (docs/DESIGN.md §2m).
+    sampler_dtype: str = "float32"
     # Whole-ADMM one-launch kernel (sweep backend, edge_refresh="solve"
     # only): run the ENTIRE ADMM loop — every iLQR sweep, the z/y
     # projection/dual updates, and the final feasible rollout — as one

@@ -1011,3 +1011,82 @@ class TestRolloutPaths:
         k0 = mpc._static_key()
         monkeypatch.setattr(S, "ROLLOUT_SCAN_MAX_BP", 8192)
         assert mpc._static_key() != k0
+
+
+class TestSamplerDtype:
+    """MPCConfig.sampler_dtype: bf16 weight-tensor storage for the dense
+    lanes samplers (docs/DESIGN.md §2m). Contracts: (a) the default
+    (float32 / dtype=None) is BIT-identical to the historical path; (b)
+    the bf16 path matches f32 within the quantization bound the config
+    documents (~2^-8 of a pyramid cell on positions, ~0.4% on edge
+    values); (c) a full sweep-backend solve under bf16 stays within
+    sub-percent of the f32 solution (accumulation is f32 throughout)."""
+
+    def _points(self, seed=23, K=5, m=4, B=96):
+        rng = np.random.default_rng(seed)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+        pyramid = costs.build_cost_pyramid(edge)
+        x = rng.uniform(-1.4, 1.4, (K, m, B)).astype(np.float32)
+        y = rng.uniform(-1.4, 1.4, (K, m, B)).astype(np.float32)
+        x[0, 0] = -1.0                      # border-clamped
+        x[:, 1] = np.round(x[:, 1], 0)      # on-integer coords (kinks)
+        return pyramid, jnp.asarray(x), jnp.asarray(y)
+
+    def test_f32_dtype_arg_bit_identical(self):
+        pyramid, x, y = self._points()
+        for fn in (costs.edge_cost_pyramid_xy,):
+            base = fn(pyramid, x, y, 64, 128)
+            same = fn(pyramid, x, y, 64, 128, dtype=jnp.float32)
+            np.testing.assert_array_equal(np.asarray(base),
+                                          np.asarray(same))
+        v0, gx0, gy0 = costs.edge_vg_pyramid_xy(pyramid, x, y, 64, 128)
+        v1, gx1, gy1 = costs.edge_vg_pyramid_xy(pyramid, x, y, 64, 128,
+                                                dtype=jnp.float32)
+        for a, b in ((v0, v1), (gx0, gx1), (gy0, gy1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bf16_within_quantization_bound(self):
+        """At production geometry (1080p -> 68x120 base level) the bf16
+        path must stay within the documented bound: ~0.4% on values,
+        ~1% of the gradient scale (the tiny-fixture levels used by the
+        other tests have a much smaller gradient scale, which inflates
+        the RELATIVE error without changing the absolute quantization)."""
+        rng = np.random.default_rng(29)
+        edge = jnp.asarray(rng.uniform(0, 255, (1080, 1920)), jnp.float32)
+        pyramid = costs.build_cost_pyramid(edge)
+        x = jnp.asarray(rng.uniform(-1.4, 1.4, (5, 4, 96)), jnp.float32)
+        y = jnp.asarray(rng.uniform(-1.4, 1.4, (5, 4, 96)), jnp.float32)
+        v, gx, gy = costs.edge_vg_pyramid_xy(pyramid, x, y, 1080, 1920)
+        vb, gxb, gyb = costs.edge_vg_pyramid_xy(pyramid, x, y, 1080, 1920,
+                                                dtype=jnp.bfloat16)
+        assert vb.dtype == jnp.float32      # outputs stay f32
+        # values live on a ~O(1) scale (mean of 1 - e/255)
+        assert float(jnp.max(jnp.abs(v - vb))) < 1e-2
+        for g, gb in ((gx, gxb), (gy, gyb)):
+            scale = float(jnp.max(jnp.abs(g))) + 1e-30
+            assert float(jnp.max(jnp.abs(g - gb))) < 0.02 * scale
+        cv = costs.edge_cost_pyramid_xy(pyramid, x, y, 1080, 1920)
+        cvb = costs.edge_cost_pyramid_xy(pyramid, x, y, 1080, 1920,
+                                         dtype=jnp.bfloat16)
+        assert float(jnp.max(jnp.abs(cv - cvb))) < 1e-2
+
+    @pytest.mark.parametrize("edge_refresh", ["solve", "admm"])
+    def test_solver_bf16_close_to_f32(self, edge_refresh):
+        rng = np.random.default_rng(31)
+        edge = jnp.asarray(rng.uniform(0, 255, (64, 128)), jnp.float32)
+
+        def solve(sd):
+            cfg = MPCConfig(horizon=8, num_features=4, ilqr_iters=2,
+                            admm_iters=3, edge_refresh=edge_refresh,
+                            sampler_dtype=sd)
+            mpc = VisualServoMPC(cfg)
+            scen = mpc.random_scenarios(jax.random.PRNGKey(5), 6)
+            sol = mpc.solve_batch(edge, scen)
+            return np.asarray(sol.us), np.asarray(sol.cost)
+
+        us32, cost32 = solve("float32")
+        us16, cost16 = solve("bfloat16")
+        # controls are on a u_limit=1 scale; the measured end-to-end
+        # deviation is ~1.4e-3 (the config's documented noise floor)
+        np.testing.assert_allclose(us16, us32, atol=8e-3)
+        np.testing.assert_allclose(cost16, cost32, rtol=5e-3, atol=5e-3)
