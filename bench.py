@@ -84,11 +84,13 @@ def main() -> None:
     # final-cost parity measured in results/tpu_v5e/edge_refresh_study.json).
     # The MPCConfig default stays "admm" because cold-start solves have no
     # staleness bound (docs/DESIGN.md §2d).
-    # Iteration budget + over-relaxation: the MPCConfig defaults (1 iLQR
-    # sweep x 5 ADMM iterations at admm_relax=1.3) — quality-equivalent to
-    # the plain-ADMM 3x5 budget at a third of the sweeps
-    # (results/cpu/relax_study_solve.json, docs/DESIGN.md §2f; gated by
-    # tests/test_solver_quality.py at exactly these defaults).
+    # Iteration budget + over-relaxation: the MPCConfig defaults — the
+    # quality-gated adaptive budget (1 iLQR sweep x (2 + 3@tol 0.1) ADMM
+    # iterations at admm_relax=1.3 with the decayed dual carry): full
+    # budget through cold starts and transients, reduced budget once the
+    # warm loop settles, asymptotic closed-loop cost within seed noise of
+    # the fixed 1x5-cold loop (results/cpu/adaptive_budget2_h20*.json,
+    # docs/DESIGN.md §2j; gated by tests/test_solver_quality.py).
     frame = data.load_frame_planar()          # in-package 1080p fixture
     frames = jax.device_put(_frame_ring(frame, RING))
 

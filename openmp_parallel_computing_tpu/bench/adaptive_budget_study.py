@@ -62,8 +62,18 @@ def run_loop(scenarios: int, frames: int, horizon: int, tols,
     edge_map = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
 
     def mk(admm, dual):
+        # admm_iters_extra/admm_tol are pinned OFF: this study emulates
+        # the adaptive gate itself, so its arms must be genuinely fixed
+        # budgets. (Regression guard — when the adaptive budget became
+        # the MPCConfig DEFAULT, the unpinned construction silently
+        # turned every "fixed" arm into budget+2@0.1 and the full-budget
+        # continuation into 7 effective iterations, which DIVERGES with
+        # the dual carry at H=50: 50.17 -> 61.21 asymptotic cost, see
+        # docs/DESIGN.md §2j "budget ceiling" and
+        # tests/test_solver_quality.py::test_long_horizon_budget_ceiling.)
         return VisualServoMPC(MPCConfig(
             horizon=horizon, ilqr_iters=1, admm_iters=admm,
+            admm_iters_extra=0, admm_tol=0.0,
             backend="sweep", edge_refresh="solve", dual_warm_start=dual))
 
     def advance(cfg, scen, sol):

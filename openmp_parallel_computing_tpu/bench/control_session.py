@@ -198,7 +198,7 @@ def run(frames_n: int, horizon: int = 20, num_features: int = 8,
             "identical except the session token."),
         "frames": frames_n, "horizon": horizon,
         "num_features": num_features,
-        "engine_defaults": "adaptive 1x(3+2@0.1) + dual carry (r5)",
+        "engine_defaults": "adaptive 1x(2+3@0.1) + dual carry (r5b)",
         "rows": [stateless, session, stateless2],
         "device_decomposition": decomp,
         "compute_saving_pct": round(100.0 * (

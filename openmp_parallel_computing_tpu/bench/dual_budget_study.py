@@ -95,8 +95,9 @@ def main() -> None:
     ap.add_argument("--arms", default="5:cold,5,3,3:2:0.1",
                     help="comma list of admm[:extra:tol][:cold|:dual] "
                          "arms (default prices the fixed 1x5 cold/dual, "
-                         "the fixed 1x3-dual option, and the shipped r5 "
-                         "adaptive 3+2@0.1 budget)")
+                         "the fixed 1x3-dual option, and the r5 "
+                         "adaptive 3+2@0.1 budget; the r5b shipped "
+                         "default is 2:3:0.1)")
     ap.add_argument("--steps", type=int, default=97)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--horizon", type=int, default=20)

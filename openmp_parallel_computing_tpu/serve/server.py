@@ -303,13 +303,31 @@ def _parse_multipart(content_type: str, body: bytes):
     return _parse_multipart_ex(content_type, body)[0]
 
 
-@functools.lru_cache(maxsize=4)
-def _mpc_engine(horizon: int, num_features: int):
+@functools.lru_cache(maxsize=8)
+def _mpc_engine(horizon: int, num_features: int, adaptive: bool = True):
+    """Serving engines. ``adaptive=False`` (the STATELESS ``/control``
+    path) pins the fixed 1x5 budget (``admm_iters=5, admm_iters_extra=0``)
+    instead of the engine-default adaptive gate: the gate's predicate is
+    BATCH-global, so under micro-batch coalescing a request's result
+    would depend on which other requests shared its batch whenever some
+    cold solves settle under the tolerance at the reduced base budget
+    (possible on small/gentle problems; production-scale cold solves trip
+    the gate and run the same 5 iterations either way). A stateless
+    request's reply must be a function of that request alone —
+    tests/test_serve_batch.py pins batched == solo. SESSION requests keep
+    the adaptive engine: their results already depend on carried state,
+    extra iterations only tighten the solve, and the settled-session
+    reduced budget is the feature's throughput win
+    (results/tpu_v5e/control_session_r5.json)."""
     from openmp_parallel_computing_tpu.models.mpc import VisualServoMPC
     from openmp_parallel_computing_tpu.utils.config import MPCConfig
 
+    if adaptive:
+        return VisualServoMPC(MPCConfig(horizon=horizon,
+                                        num_features=num_features))
     return VisualServoMPC(MPCConfig(horizon=horizon,
-                                    num_features=num_features))
+                                    num_features=num_features,
+                                    admm_iters=5, admm_iters_extra=0))
 
 
 class ControlOverload(RuntimeError):
@@ -528,7 +546,7 @@ class ControlBatcher:
         B = len(batch)
         bucket = 1 << (B - 1).bit_length()   # pad: compiles only per pow2
         pad = bucket - B
-        mpc = _mpc_engine(horizon, m)
+        mpc = _mpc_engine(horizon, m, adaptive=stateful)
 
         def stacked(attr):
             rows = [getattr(it, attr) for it in batch]

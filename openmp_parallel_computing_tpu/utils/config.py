@@ -48,7 +48,7 @@ class MPCConfig:
     # results/cpu/adaptive_budget_h{20,50}.json). The headline bench
     # (bench.py) runs exactly these defaults.
     ilqr_iters: int = 1               # linearize/solve sweeps per ADMM iter
-    admm_iters: int = 3               # base constraint-projection iters
+    admm_iters: int = 2               # base constraint-projection iters
     dt: float = 1.0 / 30.0
     u_limit: float = 1.0              # control box |u| <= u_limit
     q_track: float = 1.0              # feature tracking weight
@@ -105,18 +105,25 @@ class MPCConfig:
     edge_sampler: str = "analytic"
     # Storage dtype for the dense sampler's weight tensors / level fields
     # ("float32" or "bfloat16"; sweep backend, "xla"/"analytic" samplers).
-    # The sampler's cost at large point counts is the HBM materialization
-    # of the hat-weight tensors (~188 floats per sampled point — the §2g
-    # floor); bfloat16 halves those bytes and all contractions accumulate
-    # in f32 (``preferred_element_type``), so only the stored weights and
-    # the level values are quantized: positions to ~2^-8 of a pyramid
-    # cell (0.06 px at the 16-px base scale) and edge values to ~0.4%.
-    # The quadratic tracking term is exact f32 everywhere regardless —
-    # only the Gauss-Newton edge-attraction gradient sees the noise.
-    # Part of the jit static key. Default f32: bit-identical to pre-r5b;
-    # quality + throughput of bf16 measured in
-    # results/cpu/sampler_dtype_quality.json /
-    # results/tpu_v5e/sampler_dtype_r5.json (docs/DESIGN.md §2m).
+    # Hypothesis that motivated it: the sampler's large-point-count cost
+    # is the HBM materialization of the hat-weight tensors (~188 floats
+    # per sampled point — the §2g floor), so bf16 storage (contractions
+    # still accumulating in f32 via ``preferred_element_type``) should
+    # halve those bytes. MEASURED ON-CHIP: no — throughput is flat at
+    # every regime where it could have paid (4096 @ H=20/H=50, 16384 @
+    # H=50) and 29% SLOWER at 16384 @ H=20; the f32 weight tensors are
+    # evidently already fused into the dots rather than round-tripping
+    # HBM, and the bf16 casts ADD conversion materializations
+    # (results/tpu_v5e/sampler_dtype_r5.json, docs/DESIGN.md §2m — the
+    # committed negative result). Default f32 (bit-identical to the
+    # historical path, pinned by test). The option stays because its
+    # numerics are sound and tested (quantization ~2^-8 of a pyramid
+    # cell on positions after mean-centering the level; closed-loop cost
+    # within seed noise at H=20/H=50 —
+    # results/cpu/sampler_dtype_quality.json,
+    # tests/test_mpc.py::TestSamplerDtype): hardware where mixed-dtype
+    # fusion behaves differently can flip it and re-run the study.
+    # Part of the jit static key.
     sampler_dtype: str = "float32"
     # Whole-ADMM one-launch kernel (sweep backend, edge_refresh="solve"
     # only): run the ENTIRE ADMM loop — every iLQR sweep, the z/y
@@ -144,10 +151,23 @@ class MPCConfig:
     # reduced base budget; cold starts and transients trip the check and
     # get the full budget — the hybrid VERDICT r4 asked for (see
     # docs/DESIGN.md §2j and results/cpu/adaptive_budget_h{20,50}.json).
-    # Tolerance 0.1 by the CPU quality study: asymptotic closed-loop cost
-    # +0.01% (H=20) / +0.013% (H=50) vs the fixed 1x5-cold loop -- seed
-    # noise -- with the gate firing through the whole transient.
-    admm_iters_extra: int = 2
+    # Defaults 2+3@0.1 (r5b — retightened from the first-shipped 3+2@0.1
+    # once the corrected quality study showed the settled H=20 loop
+    # passes the gate at TWO base iterations with the same seed-noise
+    # cost profile: +0.006%/+0.030% across seeds vs 3+2's +0.01%/+0.027%,
+    # results/cpu/adaptive_budget2_h20*.json; on-chip the settled window
+    # prices +28% — results/tpu_v5e/budget23_price_r5.json). Cold solves
+    # still trip the gate (residual after 2 iters ~1.6 >> 0.1), so
+    # one-shot results remain bit-identical to the fixed 1x5 (the pinned
+    # golden did not move); at H=50 the gate fires every frame and the
+    # loop keeps exact 1x5-dual behavior. CEILING: base+extra is 5
+    # because 5 effective iterations is also the most the decayed dual
+    # carry TOLERATES at long horizons — 7 effective destabilizes the
+    # H=50 loop (+22% asymptotic cost; docs/DESIGN.md §2j "budget
+    # ceiling", tests/test_solver_quality.py::
+    # test_long_horizon_budget_ceiling). Don't raise admm_iters with the
+    # extra gate left on without re-running that study.
+    admm_iters_extra: int = 3
     admm_tol: float = 0.1
     # ADMM penalty. Also acts as proximal damping on the iLQR inner solve:
     # each inner step is ~gradient/(2*r_ctrl + rho) for low-curvature cost

@@ -43,7 +43,7 @@ class TestMultiFrameSolve:
     @pytest.mark.parametrize("backend", ["sweep", "fused", "reference"])
     def test_matches_per_frame_solves(self, backend):
         cfg = MPCConfig(horizon=H, num_features=M, ilqr_iters=2,
-                        admm_iters=2, backend=backend)
+                        admm_iters=2, admm_iters_extra=0, backend=backend)
         mpc = VisualServoMPC(cfg)
         B = 3
         frames = _frames(B)
@@ -66,7 +66,7 @@ class TestMultiFrameSolve:
         from openmp_parallel_computing_tpu.ops.pipeline import edge_pipeline
 
         cfg = MPCConfig(horizon=H, num_features=M, ilqr_iters=2,
-                        admm_iters=2)
+                        admm_iters=2, admm_iters_extra=0)
         mpc = VisualServoMPC(cfg)
         B = 4
         frame = _frames(1)[0]
@@ -107,7 +107,14 @@ class TestControlBatcher:
         assert all(r is not None for r in results)
         # all six arrived inside the 0.5 s window -> one device solve
         assert any(r["batched"] >= 2 for r in results)
-        mpc = VisualServoMPC(MPCConfig(horizon=H, num_features=M))
+        # Reference engine = the server's STATELESS contract: the fixed
+        # 1x5 budget (srv._mpc_engine(..., adaptive=False)). The
+        # engine-default adaptive gate is batch-global, so comparing a
+        # coalesced batch against solo solves is only well-defined under
+        # a fixed budget — which is exactly why the stateless serving
+        # path pins one (see _mpc_engine's docstring).
+        mpc = VisualServoMPC(MPCConfig(horizon=H, num_features=M,
+                                       admm_iters=5, admm_iters_extra=0))
         for i, r in enumerate(results):
             si = Scenario(*(None if a is None else a[i:i + 1] for a in scen))
             u0_i, sol_i = mpc.control_step(jnp.asarray(frames[i]), si)
@@ -310,7 +317,11 @@ class TestConcurrentHTTP:
                 t.start()
             for t in threads:
                 t.join(timeout=300)
-            mpc = VisualServoMPC(MPCConfig(horizon=H, num_features=M))
+            # the server's stateless /control contract: fixed 1x5
+            # (see _mpc_engine(adaptive=False))
+            mpc = VisualServoMPC(MPCConfig(horizon=H, num_features=M,
+                                           admm_iters=5,
+                                           admm_iters_extra=0))
             for i, resp in enumerate(responses):
                 assert resp is not None and resp.status_code == 200
                 body = resp.json()

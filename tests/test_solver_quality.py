@@ -27,12 +27,13 @@ def test_default_budget_near_converged(edge_map):
     m, h = 4, 20
     base_kwargs = dict(horizon=h, num_features=m)
     fast = VisualServoMPC(MPCConfig(**base_kwargs))  # shipped defaults
-    # r5 defaults: adaptive 1x(3+2@0.1) — a cold solve trips the gate, so
-    # one-shot quality (this test, the pinned golden below) is identical
-    # to the old fixed 1x5.
+    # r5b defaults: adaptive 1x(2+3@0.1) — a cold solve trips the gate
+    # (residual after 2 base iters ~1.6 >> 0.1), so one-shot quality
+    # (this test, the pinned golden below) is identical to the old fixed
+    # 1x5. Settled-loop quality: results/cpu/adaptive_budget2_h20*.json.
     assert (fast.cfg.ilqr_iters, fast.cfg.admm_iters,
             fast.cfg.admm_iters_extra, fast.cfg.admm_tol,
-            fast.cfg.admm_relax) == (1, 3, 2, 0.1, 1.3), \
+            fast.cfg.admm_relax) == (1, 2, 3, 0.1, 1.3), \
         "defaults moved: update the budget gate AND the quality studies"
     slow = VisualServoMPC(MPCConfig(**base_kwargs, ilqr_iters=8,
                                     admm_iters=15, admm_relax=1.0))
@@ -243,3 +244,54 @@ def test_undamped_dual_carry_divergence_guard():
     assert undamped > cold * 1.10, \
         f"undamped carry no longer diverges ({undamped} vs {cold}) — " \
         f"re-measure before relaxing dual_decay"
+
+
+def test_long_horizon_budget_ceiling():
+    """Regression for the r5b finding (docs/DESIGN.md §2j "budget
+    ceiling"): with the DECAYED dual carry at H=50, a LARGER per-solve
+    ADMM budget is not automatically safer — 5 effective iterations
+    track the cold loop, but 7 effective iterations destabilize it
+    (isolated: asymptotic cost 50.17 -> 61.21 over 100 frames; by frame
+    15 the gap is already >30%). The mechanism: more inner iterations
+    converge the duals harder onto the CURRENT frame's constraint set,
+    and at long horizons the shift+decay carry of those sharper duals
+    overdrives the next solve. This is why (a) the adaptive budget's
+    base+extra must not exceed the validated 5 at long horizons and (b)
+    the adaptive_budget_study pins admm_iters_extra=0 on its emulation
+    arms (leaving the default gate on silently turned its full-budget
+    arm into 7 effective iterations — the bug that exposed this).
+    If this test fails because dual7 stopped diverging, re-measure
+    before treating bigger budgets as safe."""
+    from openmp_parallel_computing_tpu.ops import xla_ref
+    from openmp_parallel_computing_tpu import data
+
+    frame = data.load_frame_planar()
+    edge = xla_ref.edge_pipeline(frame)[0].astype(jnp.float32)
+
+    def loop_cost(admm, dual=True, frames=15):
+        cfg = MPCConfig(horizon=50, num_features=8, q_edge=0.1,
+                        edge_refresh="solve", admm_iters=admm,
+                        admm_iters_extra=0, dual_warm_start=dual)
+        mpc = VisualServoMPC(cfg)
+        scen = mpc.random_scenarios(jax.random.PRNGKey(0), 32)
+        if dual:
+            scen = scen._replace(y0=jnp.zeros_like(scen.us0))
+        cost = None
+        for _ in range(frames):
+            sol = mpc.solve_batch(edge, scen)
+            cost = float(jnp.mean(sol.cost))
+            sh = jnp.concatenate(
+                [sol.us[:, 1:], jnp.zeros_like(sol.us[:, :1])], axis=1)
+            y0 = None
+            if dual:
+                y0 = cfg.dual_decay * jnp.concatenate(
+                    [sol.dual[:, 1:], jnp.zeros_like(sol.dual[:, :1])],
+                    axis=1)
+            scen = scen._replace(p0=sol.ps[:, 1], us0=sh, y0=y0)
+        return cost
+
+    cold5 = loop_cost(5, dual=False)     # measured 72.24 at frame 15
+    dual7 = loop_cost(7)                 # measured 97.08 at frame 15
+    assert dual7 > cold5 * 1.20, \
+        f"7-iteration dual carry no longer diverges at H=50 " \
+        f"({dual7} vs {cold5}) — re-measure the budget ceiling"

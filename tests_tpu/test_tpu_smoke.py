@@ -72,8 +72,13 @@ class TestSolverLowering:
     """Compiled sweep kernels vs the pure-XLA reference backend on-device."""
 
     def _solve(self, backend, scen, frame):
+        # Fixed budget (extra=0): lowering-equivalence tests pin the
+        # kernel schedule; the adaptive gate's cross-backend contract has
+        # its own boundary tests (tests/test_mpc.py::TestAdaptiveBudget),
+        # and its extra iterations amplify reassociation-level backend
+        # noise past these tight tolerances.
         cfg = MPCConfig(horizon=6, num_features=2, ilqr_iters=2,
-                        admm_iters=2, backend=backend)
+                        admm_iters=2, admm_iters_extra=0, backend=backend)
         mpc = VisualServoMPC(cfg)
         u0, sol = mpc.control_step(frame, scen)
         return fetch(u0), fetch(sol.cost)
@@ -122,8 +127,8 @@ class TestSolverLowering:
 
         def solve(backend):
             cfg = MPCConfig(horizon=h, num_features=m, ilqr_iters=2,
-                            admm_iters=2, backend=backend,
-                            edge_refresh="admm")
+                            admm_iters=2, admm_iters_extra=0,
+                            backend=backend, edge_refresh="admm")
             mpc = VisualServoMPC(cfg)
             u0, sol = mpc.control_step(RGB, scen)
             return fetch(u0), fetch(sol.cost)
@@ -184,7 +189,8 @@ class TestSolverLowering:
 
         def loop(backend, steps):
             cfg = MPCConfig(horizon=h, num_features=m, ilqr_iters=1,
-                            admm_iters=2, backend=backend,
+                            admm_iters=2, admm_iters_extra=0,
+                            backend=backend,
                             edge_refresh="solve")  # the headline schedule
             mpc = VisualServoMPC(cfg)
             u0s, cost_seq, scen_out = mpc.receding_horizon_frames(
@@ -206,7 +212,8 @@ class TestSolverLowering:
         # the CPU suite's loop equivalence, tests/test_mpc.py).
         u0s_s1, costs_s1, _ = loop("sweep", 1)
         cfg = MPCConfig(horizon=h, num_features=m, ilqr_iters=1,
-                        admm_iters=2, edge_refresh="solve")
+                        admm_iters=2, admm_iters_extra=0,
+                        edge_refresh="solve")
         u0_cs, sol_cs = VisualServoMPC(cfg).control_step(frames[0], scen)
         np.testing.assert_allclose(u0s_s1[0], fetch(u0_cs),
                                    rtol=1e-4, atol=1e-4)
@@ -267,8 +274,8 @@ class TestSamplerLowering:
 
         def solve(sampler):
             cfg = MPCConfig(horizon=h, num_features=m, ilqr_iters=1,
-                            admm_iters=2, edge_refresh="solve",
-                            edge_sampler=sampler)
+                            admm_iters=2, admm_iters_extra=0,
+                            edge_refresh="solve", edge_sampler=sampler)
             mpc = VisualServoMPC(cfg)
             u0, sol = mpc.control_step(RGB, scen)
             return fetch(u0), fetch(sol.cost)
